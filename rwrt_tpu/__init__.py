@@ -1,0 +1,23 @@
+"""rwrt_tpu: TPU-native barotropic Rossby-wave ray tracing.
+
+A ground-up JAX/XLA re-design of the Li-Yang wave-ray tracing system (see
+SURVEY.md for the reference analysis): device-resident basic-state precompute,
+analytic dispersion-root solve, fused bilinear background sampling, and
+fixed-shape masked RK4 / adaptive Dormand-Prince integration over a sharded
+ray batch.
+"""
+
+from rwrt_tpu.config import RunConfig
+from rwrt_tpu.models.basic_state import BasicState, prepare
+from rwrt_tpu.tracer import RayTrajectories, source_matrix, trace_rays
+
+__all__ = [
+    "RunConfig",
+    "BasicState",
+    "prepare",
+    "RayTrajectories",
+    "source_matrix",
+    "trace_rays",
+]
+
+__version__ = "0.1.0"

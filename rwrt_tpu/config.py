@@ -1,0 +1,83 @@
+"""Typed run configuration.
+
+Replaces the reference's plain parameter dict splatted into the entry function
+(reference main_wr.py:5-30). Same knobs, validated, with TPU-relevant
+additions (compute dtype, sharding mesh shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from rwrt_tpu.constants import day, hour
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Configuration for a ray-tracing run (reference main_wr.py:5-30)."""
+
+    # Wave frequency in rad/s; 0 = stationary Rossby waves.
+    freq: float = 0.0
+    # Initial zonal wavenumbers (dimensionless k*R).
+    zwn: Sequence[float] = (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    # Source matrix: SW corner (degrees), spacing (degrees), counts.
+    sw_lon: float = 70.0
+    sw_lat: float = -4.0
+    dlon: float = 4.0
+    dlat: float = 2.0
+    nnx: int = 21
+    nny: int = 15
+    # Time stepping.
+    tstep: float = 2.0 * hour        # seconds
+    ttotal: float = 90.0 * day       # seconds
+    # Integrator: 'rk4' (fixed step) or 'rk45' (adaptive Dormand-Prince).
+    integrator: str = "rk4"
+    # Adaptive-solver controls (reference main_wr.py:27-29, wr.py:168-171).
+    rtol: float = 1e-6
+    atol: float = 1e-6
+    min_step_factor: float = 1e-3
+    # Displacement kill threshold, radians per tstep-hour (wr.py:170).
+    cut_off: float = 0.1
+    # Background handling.
+    xcyclic: bool = True
+    # dtypes: read (ingest) and compute.
+    read_dtype: str = "float32"
+    cal_dtype: str = "float32"
+    # Devices along the ray-sharding mesh axis; None = all local devices.
+    mesh_devices: Optional[int] = None
+
+    @property
+    def nt(self) -> int:
+        # reference wr.py:157
+        return int(self.ttotal / self.tstep) + 1
+
+    @property
+    def nsource(self) -> int:
+        return self.nnx * self.nny
+
+    @property
+    def nzwn(self) -> int:
+        return len(self.zwn)
+
+    @property
+    def cut_off_rad(self) -> float:
+        # reference wr.py:170: cut_off * tstep / 3600
+        return self.cut_off * self.tstep / 3600.0
+
+    def zwn_array(self) -> np.ndarray:
+        return np.asarray(self.zwn, dtype=self.cal_dtype)
+
+    def validate(self) -> "RunConfig":
+        if self.integrator not in ("rk4", "rk45"):
+            raise ValueError(f"unknown integrator {self.integrator!r}")
+        if self.nnx * self.nny < 1:
+            raise ValueError("empty source matrix")
+        if self.sw_lat + (self.nny - 1) * self.dlat > 89.0:
+            # reference wr.py:246-247
+            raise ValueError("source latitude out of -90~90 range!")
+        if self.tstep <= 0 or self.ttotal <= 0:
+            raise ValueError("tstep and ttotal must be positive")
+        return self

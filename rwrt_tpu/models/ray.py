@@ -1,0 +1,152 @@
+"""Ray ODE right-hand side and termination physics.
+
+TPU-native counterpart of the reference's diffun machinery (reference
+wr.py:44-82 core_diffun, wr.py:492-556 diffun_numpy) and the per-ray failure
+masks. One dialect: pure jnp over a flat ray batch (R,), jit/vmap/shard-map
+friendly; dead rays are NaN lanes, never control flow.
+
+State layout: 5 prognostic variables per ray, stacked as a (5, R) array
+[lon, lat, kx, ky, amp] (the reference's slots 5:7 -- ug, vg -- are
+diagnostics recomputed from the dispersion relation after every step,
+wr.py:737-746, so they are not carried in the state).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from rwrt_tpu.constants import mwn_cap, pi, rearth
+from rwrt_tpu.ops import interp
+from rwrt_tpu.ops.groupvel import group_velocity
+
+# State variable indices.
+S_LON, S_LAT, S_KX, S_KY, S_AMP = range(5)
+NUM_VARS = 5
+
+
+class Background(NamedTuple):
+    """Static per-run inputs to the RHS (a closure-free pytree).
+
+    fields: (nlon_wrap, nlat, 18) stacked background (BasicState.fields).
+    lon0, lat0: grid origin in radians.
+    dx, dy: grid spacing in radians.
+    freq: wave frequency (rad/s).
+    """
+
+    fields: jnp.ndarray
+    lon0: jnp.ndarray
+    lat0: jnp.ndarray
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    freq: jnp.ndarray
+
+
+def fail_mask(y: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray failure mask evaluated on a state (reference wr.py:508-514).
+
+    True where |lat| >= pi/2 or |ky| >= 100. NaN states compare False on both
+    (matching numpy semantics) so already-dead rays are NOT flagged here; they
+    propagate NaN through the arithmetic instead.
+    """
+    return (jnp.abs(y[S_LAT]) >= 0.5 * pi) | (jnp.abs(y[S_KY]) >= mwn_cap)
+
+
+def rhs(bg: Background, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """dy/dt for the ray batch.
+
+    Mirrors reference diffun_numpy (wr.py:492-556) + core_diffun
+    (wr.py:44-82):
+
+      dlon/dt = ug / R
+      dlat/dt = vg cos(lat) / R
+      dk/dt   = -k [(fmux + kap fmvx) + (kap fmqxx - fmqyx)/K^2] / R
+      dl/dt   = -k [(fmuy + kap fmvy) + (kap fmqxy - fmqyy)/K^2] / R
+      damp/dt = amp [2(fmux + fmvy + kap(fmvx + fmuy))/(1+kap^2)
+                     + 2(kap(fmqxx - fmqyy) + (kap^2-1) fmqxy)/(K^2(1+kap^2))
+                     - 2 sin(lat) fmv] / R
+
+    Args:
+      bg: background pytree.
+      y: (5, R) state.
+
+    Returns:
+      (dy (5, R), err (R,) bool): err flags rays whose derivatives were forced
+      NaN this evaluation (|lat| or |ky| out of bounds, wr.py:508-514).
+    """
+    lon, lat, kx, ky, amp = y[S_LON], y[S_LAT], y[S_KX], y[S_KY], y[S_AMP]
+
+    err = fail_mask(y)
+    ky_safe = jnp.where(err, jnp.nan, ky)
+
+    f = interp.sample_mercator(bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat)
+    fmu, fmv = f[interp.M_U], f[interp.M_V]
+    fmux, fmuy = f[interp.M_UX], f[interp.M_UY]
+    fmvx, fmvy = f[interp.M_VX], f[interp.M_VY]
+    fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
+    fmqxx, fmqxy = f[interp.M_QXX], f[interp.M_QXY]
+    fmqyx, fmqyy = f[interp.M_QYX], f[interp.M_QYY]
+
+    ug, vg = group_velocity(fmu, fmv, fmqx, fmqy, kx, ky_safe)
+
+    kap = ky_safe / kx
+    kap2 = kap * kap
+    kap1 = 1.0 + kap2
+    kk = kx * kx * kap1  # K^2 = k^2 + m^2
+
+    dzwn = -kx * ((fmux + kap * fmvx) + (kap * fmqxx - fmqyx) / kk)
+    dmwn = -kx * ((fmuy + kap * fmvy) + (kap * fmqxy - fmqyy) / kk)
+
+    damp1 = 2.0 * (fmux + fmvy + kap * (fmvx + fmuy)) / kap1
+    damp2 = 2.0 * (kap * (fmqxx - fmqyy) + (kap2 - 1.0) * fmqxy) / (kk * kap1)
+    damp3 = -2.0 * jnp.sin(lat) * fmv
+    damp = damp1 + damp2 + damp3
+
+    inv_r = 1.0 / rearth
+    dy = jnp.stack(
+        [
+            ug * inv_r,
+            vg * jnp.cos(lat) * inv_r,
+            dzwn * inv_r,
+            dmwn * inv_r,
+            damp * amp * inv_r,
+        ]
+    )
+    dy = jnp.where(err[None, :], jnp.nan, dy)
+    return dy, err
+
+
+def group_velocity_at(bg: Background, lon, lat, kx, ky, *, zero_invalid=False):
+    """Diagnostic (ug, vg) at given positions/wavenumbers.
+
+    Used to (re)derive the output slots after each accepted step (reference
+    wr.py:737-746) and at initialization (wr.py:393-395, zero_invalid=True).
+    """
+    f = interp.sample_mercator(bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat)
+    return group_velocity(
+        f[interp.M_U], f[interp.M_V], f[interp.M_QX], f[interp.M_QY],
+        kx, ky, zero_invalid=zero_invalid,
+    )
+
+
+def haversine(lon_a, lat_a, lon_b, lat_b) -> jnp.ndarray:
+    """Angular distance between two points (reference cal_dis, wr.py:97-112)."""
+    dlon = lon_a - lon_b
+    dlat = lat_a - lat_b
+    a = (
+        jnp.sin(dlat / 2.0) ** 2
+        + jnp.cos(lat_b) * jnp.cos(lat_a) * jnp.sin(dlon / 2.0) ** 2
+    )
+    return jnp.abs(2.0 * jnp.arctan2(jnp.sqrt(a), jnp.sqrt(1.0 - a)))
+
+
+def kill_mask(y_new: jnp.ndarray, lon_prev, lat_prev, cut_off) -> jnp.ndarray:
+    """Post-step termination: NaN-kill mask (reference wr.py:721-734).
+
+    True where the new latitude left the traceable band (|lat| >= pi/2) or the
+    step jumped more than ``cut_off`` radians (haversine displacement).
+    """
+    lat_kill = jnp.abs(y_new[S_LAT]) >= 0.5 * pi
+    ddis = haversine(y_new[S_LON], y_new[S_LAT], lon_prev, lat_prev)
+    return lat_kill | (ddis >= cut_off)

@@ -1,0 +1,178 @@
+"""Analytic dispersion-relation root solve: meridional wavenumbers m.
+
+TPU-native replacement for the reference's polynomial-root machinery
+(reference bs.py:19-66 Fortran cmplx_roots_sg / numba np.roots backends and
+bs.py:892-1055 cal_ky*). Instead of host-side companion-matrix eigenvalue
+solves per point, the cubic is solved in closed form (Cardano + trigonometric
+method) fully vectorized over all rays -- no host callback, no per-point loop
+(the reference's numpy path still loops per point, bs.py:1014-1039).
+
+The dispersion relation for barotropic Rossby waves on the Mercator plane,
+with zwn = k*R, m the meridional wavenumber (times R), ps = freq/zwn*R:
+
+    fv*m^3 + zwn*(fu - ps)*m^2 + (zwn^2*fv + fqx)*m
+        + zwn^3*(fu - ps - fqy/zwn^2) = 0
+
+(coefficients per reference bs.py:1005-1011). Semantics preserved:
+
+- degree reduction when leading coefficients are exactly zero (the numpy
+  dialect's `abs(coeff[deg]) == 0` test, bs.py:1017-1021);
+- a complex-conjugate pair counts as two real roots when |Im| < delt = 1e-8
+  (bs.py:1030, matching the |r.imag| < delt filter on numeric roots);
+- roots with |m| >= 100 are discarded (bs.py:931-932, 978-981);
+- zwn == 0 yields no roots (bs.py:1003);
+- root slots are ordered canonically: non-negative roots first, each group by
+  ascending |m| (the documented sort of the reference's 'original' dialect,
+  bs.py:935). The reference's 'numpy' dialect instead applies a
+  Fortran-heritage slot shuffle (change_roots_order, bs.py:942-982) on top of
+  whatever order the backend eigenvalue solver emitted -- an ordering that is
+  solver-dependent and therefore not reproducible; we adopt the deterministic
+  sort. Trajectory SETS are identical either way (slots integrate
+  independently).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from rwrt_tpu.constants import delt, mwn_cap, rearth
+
+
+def _cbrt(x):
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+
+def _solve_cubic_depressed(p, q):
+    """Real roots of t^3 + p t + q = 0.
+
+    Returns (roots (3, R), n_extra_real_mask): root 0 is always a real root;
+    roots 1, 2 form the remaining pair, returned as their real part with a
+    validity mask true when the pair is real to within delt (|Im| < delt,
+    mirroring the reference's realness filter on numeric roots).
+    """
+    half_q = 0.5 * q
+    third_p = p / 3.0
+    disc = half_q * half_q + third_p * third_p * third_p
+
+    # --- Cardano branch (disc >= 0): one real root + conjugate pair. ---
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = _cbrt(-half_q + sq)
+    v = _cbrt(-half_q - sq)
+    t0_card = u + v
+    pair_re_card = -0.5 * (u + v)
+    pair_im_card = (jnp.sqrt(3.0) / 2.0) * (u - v)
+
+    # --- Trigonometric branch (disc < 0): three real roots. ---
+    # Guard p >= 0 inputs (can't reach here with disc<0, but keep sqrt safe).
+    mp = jnp.sqrt(jnp.maximum(-third_p, 1e-300 if p.dtype == jnp.float64 else 1e-30))
+    cos_arg = jnp.clip(-half_q / (mp * mp * mp), -1.0, 1.0)
+    theta = jnp.arccos(cos_arg) / 3.0
+    two_pi_3 = 2.0 * jnp.pi / 3.0
+    t0_trig = 2.0 * mp * jnp.cos(theta)
+    t1_trig = 2.0 * mp * jnp.cos(theta - two_pi_3)
+    t2_trig = 2.0 * mp * jnp.cos(theta + two_pi_3)
+
+    use_card = disc > 0.0
+    r0 = jnp.where(use_card, t0_card, t0_trig)
+    r1 = jnp.where(use_card, pair_re_card, t1_trig)
+    r2 = jnp.where(use_card, pair_re_card, t2_trig)
+    pair_real = jnp.where(use_card, jnp.abs(pair_im_card) < delt, True)
+    return jnp.stack([r0, r1, r2]), pair_real
+
+
+def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Meridional-wavenumber roots at each point (vectorized cal_ky).
+
+    Args:
+      fu, fv, fqx, fqy: (R,) Mercator background samples.
+      freq: wave frequency (scalar or (R,)).
+      zwn: (R,) or scalar dimensionless zonal wavenumber k*R.
+
+    Returns:
+      roots: (R, 3) real roots, NaN-padded, canonical order (non-negative
+        ascending-|m| first, then negative ascending-|m|).
+      count: (R,) number of valid roots.
+    """
+    fu, fv, fqx, fqy, zwn = jnp.broadcast_arrays(
+        *(jnp.asarray(a) for a in (fu, fv, fqx, fqy, zwn))
+    )
+    dtype = fu.dtype
+    nonzero_k = zwn != 0.0
+    kz = jnp.where(nonzero_k, zwn, 1.0)
+    ps = freq / kz * rearth
+
+    # Coefficients highest-degree first: c3 m^3 + c2 m^2 + c1 m + c0.
+    c3 = fv
+    c2 = kz * (fu - ps)
+    c1 = kz * kz * fv + fqx
+    c0 = kz**3 * (fu - ps) - fqy * kz
+
+    # Degree by exact-zero leading coefficients (reference bs.py:1017-1021).
+    # NaN coefficients compare != 0 -> routed to the cubic branch where they
+    # propagate to NaN roots and count 0.
+    deg3 = c3 != 0.0
+    deg2 = ~deg3 & (c2 != 0.0)
+    deg1 = ~deg3 & ~deg2 & (c1 != 0.0)
+
+    nan = jnp.asarray(jnp.nan, dtype)
+
+    # --- cubic: normalize to monic and depress. ---
+    a = jnp.where(deg3, c3, 1.0)
+    b = c2 / a
+    c = c1 / a
+    d = c0 / a
+    p = c - b * b / 3.0
+    q = 2.0 * b**3 / 27.0 - b * c / 3.0 + d
+    t_roots, pair_real = _solve_cubic_depressed(p, q)
+    shift = b / 3.0
+    cub0 = t_roots[0] - shift
+    cub1 = jnp.where(pair_real, t_roots[1] - shift, nan)
+    cub2 = jnp.where(pair_real, t_roots[2] - shift, nan)
+
+    # --- quadratic: c2 m^2 + c1 m + c0; pair real when |Im| < delt. ---
+    a2 = jnp.where(deg2, c2, 1.0)
+    disc2 = c1 * c1 - 4.0 * a2 * c0
+    sq2 = jnp.sqrt(jnp.abs(disc2))
+    q_im = sq2 / (2.0 * jnp.abs(a2))
+    q_real = (disc2 >= 0.0) | (q_im < delt)
+    # Stable quadratic roots: avoid cancellation via the sign trick. When the
+    # pair is complex but |Im| < delt, both slots take the real part (the
+    # reference keeps r.real of both conjugates, bs.py:1030).
+    qq = -0.5 * (c1 + jnp.sign(c1 + (c1 == 0.0)) * sq2)
+    qq_safe = jnp.where(qq != 0.0, qq, 1.0)
+    pair_re = -c1 / (2.0 * a2)
+    quad0 = jnp.where(
+        q_real,
+        jnp.where(disc2 >= 0.0, jnp.where(qq != 0.0, qq / a2, 0.0), pair_re),
+        nan,
+    )
+    quad1 = jnp.where(
+        q_real,
+        jnp.where(disc2 >= 0.0, jnp.where(qq != 0.0, c0 / qq_safe, 0.0), pair_re),
+        nan,
+    )
+
+    # --- linear: c1 m + c0. ---
+    lin0 = -c0 / jnp.where(deg1, c1, 1.0)
+
+    r0 = jnp.where(deg3, cub0, jnp.where(deg2, quad0, jnp.where(deg1, lin0, nan)))
+    r1 = jnp.where(deg3, cub1, jnp.where(deg2, quad1, nan))
+    r2 = jnp.where(deg3, cub2, nan)
+    roots = jnp.stack([r0, r1, r2], axis=-1)  # (R, 3)
+
+    # Validity: finite, |m| < 100, zwn != 0 (reference bs.py:979, 1003).
+    valid = jnp.isfinite(roots) & (jnp.abs(roots) < mwn_cap) & nonzero_k[..., None]
+    roots = jnp.where(valid, roots, nan)
+
+    # Canonical slot order: (negative?, |m|) ascending, NaN last
+    # (reference bs.py:935). |m| < 100 for valid roots so an offset of 200
+    # cleanly separates the groups; NaN keys sort last under jnp.sort via inf.
+    key = jnp.where(
+        jnp.isnan(roots), jnp.inf, jnp.abs(roots) + jnp.where(roots < 0, 200.0, 0.0)
+    )
+    order = jnp.argsort(key, axis=-1)
+    roots = jnp.take_along_axis(roots, order, axis=-1)
+    count = jnp.sum(valid, axis=-1)
+    return roots, count

@@ -1,0 +1,50 @@
+"""Group velocity (ug, vg) from the dispersion relation.
+
+TPU-native cal_ugvg (reference wn.py:140-351). The reference carries three
+dialects ('original' scalar, 'numpy' with NaN-zeroing, 'extent' numba kernel);
+they are the same formula
+
+    ug = fu + [(1 - kap^2) fqy - 2 kap fqx] / (K^2 (1 + kap^2))
+    vg = fv + [2 kap fqy + (1 - kap^2) fqx] / (K^2 (1 + kap^2))
+
+with kap = m/k and K^2 = k^2 (1 + kap^2) = k^2 + m^2 (reference wn.py:266-294).
+Here there is one jnp implementation; NaN handling is selected by the
+``zero_invalid`` flag:
+
+- zero_invalid=False (the hot-loop 'extent' semantics, wn.py:318-342): NaNs
+  propagate -- dead rays produce NaN group velocity.
+- zero_invalid=True (the initialization 'numpy' semantics, wn.py:209-259):
+  entries where any of mwn, fu, fqx, fqy is NaN return 0.0, and zwn == 0
+  returns zeros, matching the initial rug/rvg = 0 written for root-less slots
+  (reference wr.py:393-395).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def group_velocity(
+    fu, fv, fqx, fqy, zwn, mwn, *, zero_invalid: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute (ug, vg); all args broadcastable, any shape."""
+    kap = mwn / zwn
+    kap2 = kap * kap
+    kap1 = 1.0 + kap2
+    denom = zwn * zwn * kap1 * kap1  # K^2 (1+kap^2) = (k^2+m^2)(1+kap^2)
+    ug = fu + ((1.0 - kap2) * fqy - 2.0 * kap * fqx) / denom
+    vg = fv + (2.0 * kap * fqy + (1.0 - kap2) * fqx) / denom
+    if zero_invalid:
+        # The reference's NaN test covers mwn, fu, fqx, fqy but NOT fv
+        # (wn.py:229: nans built from mwn*0 and fu*fqx*fqy*0).
+        bad = (
+            jnp.isnan(mwn)
+            | jnp.isnan(fu + fqx + fqy)
+            | (zwn == 0.0)
+        )
+        zero = jnp.zeros_like(ug)
+        ug = jnp.where(bad, zero, ug)
+        vg = jnp.where(bad, zero, vg)
+    return ug, vg

@@ -1,0 +1,156 @@
+"""Batched bilinear sampling of the background-field stack at ray positions.
+
+This is the inner-loop workhorse: every RHS evaluation gathers all 18
+background fields at every ray position and applies the Mercator coordinate
+transform. TPU-native equivalents of:
+
+- ``batch_linint2_metpy(mode='numpy')`` + ``bilinear_interpolation_``
+  (reference interpolation.py:37-135): fractional grid indices, floor+clip,
+  4-corner gather, bilinear weights. Cyclicity is handled upstream by the wrap
+  column appended to the field stack (reference bs.py:370-372), so plain
+  clipping is exact for lon in [lon[0], lon[0] + 2*pi).
+- ``BS.cal_bs_mercator_point(mode='numpy')`` (reference bs.py:781-887): the
+  Mercator transform block with the polar-cap guard |cos(lat)| <= 0.0175.
+
+Design notes (TPU): the gather is expressed as 4 row-gathers from the stack
+flattened to (nlon_wrap * nlat, 18) so each gathered row is one contiguous
+18-vector; XLA lowers this to dynamic-gather over the leading axis. NaN
+positions (dead rays) propagate naturally: floor(NaN) -> NaN weights -> NaN
+outputs, with indices clipped into range so the gather itself is safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rwrt_tpu.constants import pi, polar_cos_cap
+
+# Indices into the raw 18-field stack (models/basic_state.py FIELD_NAMES).
+(F_U, F_V, F_UX, F_UY, F_VX, F_VY, F_QX, F_QY, F_QXX, F_QXY, F_QYX, F_QYY,
+ F_QXXX, F_QXXY, F_QXYY, F_QYYY, F_QYXX, F_QYYX) = range(18)
+
+# Indices into the Mercator-transformed sample, matching the reference's
+# 18-tuple return order (reference bs.py:885-887).
+(M_U, M_V, M_UX, M_UY, M_VX, M_VY, M_QX, M_QY, M_QXX, M_QXY, M_QYX, M_QYY,
+ M_QXXX, M_QXXY, M_QXYY, M_QYYY, M_QYXX, M_QYYX) = range(18)
+
+
+def bilinear_gather(fields: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """4-corner bilinear gather at fractional grid indices.
+
+    Args:
+      fields: (W, H, C) field stack (W includes the cyclic wrap column).
+      x, y: (R,) fractional indices into the W / H axes.
+
+    Returns:
+      (R, C) interpolated values. Matches reference
+      interpolation.py:103-135 exactly, including the quirk that the
+      interpolation weights are computed against the CLIPPED corner indices
+      (so out-of-range points extrapolate rather than clamp).
+    """
+    w, h, _ = fields.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+
+    sx = x - x0.astype(x.dtype)
+    sy = y - y0.astype(y.dtype)
+
+    flat = fields.reshape(w * h, -1)
+    fa = jnp.take(flat, x0 * h + y1, axis=0)  # (R, C) upper-left
+    fb = jnp.take(flat, x1 * h + y1, axis=0)  # upper-right
+    fc = jnp.take(flat, x0 * h + y0, axis=0)  # lower-left
+    fd = jnp.take(flat, x1 * h + y0, axis=0)  # lower-right
+
+    wa = ((1.0 - sx) * sy)[:, None]
+    wb = (sx * sy)[:, None]
+    wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+    wd = (sx * (1.0 - sy))[:, None]
+    return fa * wa + fb * wb + fc * wc + fd * wd
+
+
+def sample_raw(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
+    """Interpolate the raw 18-field stack at (lon, lat) points.
+
+    Mirrors reference batch_linint2_metpy numpy mode
+    (interpolation.py:78-85): lon wrapped mod 2*pi, converted to fractional
+    indices relative to the grid origin. Points with |lat| > pi/2 return NaN
+    rows (reference bs.py:787, 822-836).
+
+    Returns (R, 18).
+    """
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+    vals = bilinear_gather(bs_fields, ix, iy)
+    in_range = jnp.abs(lat) <= 0.5 * pi
+    return jnp.where(in_range[:, None], vals, jnp.nan)
+
+
+def mercator_transform(raw: jnp.ndarray, lat: jnp.ndarray) -> jnp.ndarray:
+    """Convert raw interpolated fields to Mercator coordinates.
+
+    Exact vectorization of reference bs.py:856-887:
+      - polar-cap mask: everything is zeroed where |cos(lat)| <= 0.0175. The
+        mask is computed as NOT(|cos| <= cap) so NaN latitudes stay UNmasked
+        and propagate NaN (matching the reference's `mask[|cos|<=cap]=0`).
+      - fmuy = fuy + tan(lat)*fu (the "Fortran kept it" convention, reference
+        bs.py:750-752: the formula would divide by cos but the Fortran code
+        does not, and the reference preserves that).
+      - both fmqxy and fmqyx derive from the SMOOTHED qxy sample (stack index
+        9); the unsmoothed qyx sample (index 10) is interpolated but unused,
+        exactly as in the reference.
+
+    Args:
+      raw: (R, 18) from sample_raw.
+      lat: (R,) latitudes in radians.
+
+    Returns:
+      (18, R) transformed fields in M_* order.
+    """
+    cos_phi = jnp.cos(lat)
+    sin_phi = jnp.sin(lat)
+    live = jnp.logical_not(jnp.abs(cos_phi) <= polar_cos_cap)
+    # Reference substitutes 1e-6 for the masked cos before dividing
+    # (bs.py:860); results there are zeroed anyway.
+    cosm = jnp.where(live, cos_phi, 1e-6)
+    tan_phi = sin_phi / cosm
+
+    f = raw.T  # (18, R)
+    zero = jnp.zeros_like(cos_phi)
+
+    def m(expr):
+        return jnp.where(live, expr, zero)
+
+    fmqyx = m(f[F_QXY] * cosm)
+    out = [None] * 18
+    out[M_U] = m(f[F_U] / cosm)
+    out[M_V] = m(f[F_V] / cosm)
+    out[M_UX] = m(f[F_UX] / cosm)
+    out[M_UY] = m(f[F_UY] + tan_phi * f[F_U])
+    out[M_VX] = m(f[F_VX] / cosm)
+    out[M_VY] = m(f[F_VY] + tan_phi * f[F_V])
+    out[M_QX] = m(f[F_QX])
+    out[M_QY] = m(f[F_QY] * cosm)
+    out[M_QXX] = m(f[F_QXX])
+    out[M_QXY] = fmqyx
+    out[M_QYX] = fmqyx
+    out[M_QYY] = m((f[F_QYY] * cosm - f[F_QY] * sin_phi) * cosm)
+    out[M_QXXX] = m(f[F_QXXX])
+    out[M_QXXY] = m(f[F_QXXY] * cosm)
+    out[M_QXYY] = m((f[F_QXYY] * cosm - f[F_QXY] * sin_phi) * cosm)
+    out[M_QYYY] = m(f[F_QYYY])
+    out[M_QYXX] = m(f[F_QYXX] * cosm)
+    out[M_QYYX] = m((f[F_QYYX] * cosm - f[F_QXY] * sin_phi) * cosm)
+    return jnp.stack(out, axis=0)
+
+
+def sample_mercator(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
+    """Interpolate + Mercator-transform in one fused call.
+
+    Equivalent of reference BS.cal_bs_mercator_point(mode='numpy')
+    (bs.py:781-887). Returns (18, R) in M_* order.
+    """
+    raw = sample_raw(bs_fields, lon0, lat0, dx, dy, lon, lat)
+    return mercator_transform(raw, lat)

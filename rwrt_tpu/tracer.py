@@ -1,0 +1,237 @@
+"""Ray-tracing orchestration: seeding, initialization, integration, results.
+
+TPU-native counterpart of the reference WR class (reference wr.py:114-977).
+Where the reference owns seven (nt, 3, nsource, nzwn) mutable result arrays
+and mutates them step by step, this module is functional: ``trace_rays``
+returns an immutable ``RayTrajectories`` pytree produced by one jitted
+integration (lax.scan over output steps; for the adaptive path a scan whose
+body runs the masked per-ray while_loop of solvers/rk45.py).
+
+The ray batch is flattened to R = 3 * nsource * nzwn lanes in C order of
+(root, source, zwn) so results reshape directly to the reference's output
+layout (reference wr.py:160).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwrt_tpu.config import RunConfig
+from rwrt_tpu.constants import deg2rad, undef
+from rwrt_tpu.models import ray as ray_mod
+from rwrt_tpu.models.basic_state import BasicState
+from rwrt_tpu.models.ray import Background, S_AMP, S_KX, S_KY, S_LAT, S_LON
+from rwrt_tpu.ops import interp
+from rwrt_tpu.ops.cubic import solve_dispersion_cubic
+from rwrt_tpu.ops.groupvel import group_velocity
+from rwrt_tpu.solvers import rk4 as rk4_mod
+from rwrt_tpu.solvers import rk45 as rk45_mod
+
+
+class RayTrajectories(NamedTuple):
+    """Trajectory output, shapes (nt, 3, nsource, nzwn) (reference wr.py:160).
+
+    lon/lat in radians (converted to degrees at IO time, wr.py:947-948).
+    """
+
+    lon: jnp.ndarray
+    lat: jnp.ndarray
+    kx: jnp.ndarray   # rzwn
+    ky: jnp.ndarray   # rmwn
+    amp: jnp.ndarray
+    ug: jnp.ndarray
+    vg: jnp.ndarray
+
+
+def source_matrix(
+    sw_lon: float, sw_lat: float, dlon: float, dlat: float, nnx: int, nny: int,
+    dtype=np.float64,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Regular source grid from the SW corner, in radians (reference
+    wr.py:236-258): lon normalized mod 360, iterated x-fastest."""
+    if sw_lat + (nny - 1) * dlat > 89.0:
+        raise ValueError("source latitude out of -90~90 range!")
+    ix = np.arange(nnx)
+    iy = np.arange(nny)
+    lon_deg = (sw_lon % 360.0 + ix[None, :] * dlon) % 360.0
+    lat_deg = sw_lat + iy[:, None] * dlat
+    lon = np.broadcast_to(lon_deg, (nny, nnx)).reshape(-1) * deg2rad
+    lat = np.broadcast_to(lat_deg, (nny, nnx)).reshape(-1) * deg2rad
+    return lon.astype(dtype), lat.astype(dtype)
+
+
+def make_background(bs: BasicState, freq: float) -> Background:
+    dtype = bs.fields.dtype
+    return Background(
+        fields=bs.fields,
+        lon0=bs.lon[0].astype(dtype),
+        lat0=bs.lat[0].astype(dtype),
+        dx=jnp.asarray(bs.dx, dtype),
+        dy=jnp.asarray(bs.dy, dtype),
+        freq=jnp.asarray(freq, dtype),
+    )
+
+
+def initialize(
+    bg: Background,
+    source_lon: jnp.ndarray,
+    source_lat: jnp.ndarray,
+    zwn: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Initial state for all 3*nsource*nzwn rays (reference wr.py:344-395).
+
+    Positions are the source points; the three meridional-wavenumber roots per
+    (source, zwn) come from the dispersion cubic; amp = 1 where the root
+    exists else NaN; initial (ug, vg) use the zero-invalid semantics
+    (reference wr.py:393-395 -> wn.py:209-259).
+
+    Returns:
+      y0: (5, R) state, R = 3*nsource*nzwn flattened from (3, nsource, nzwn).
+      ug0, vg0: (R,) initial group velocities.
+    """
+    nsource = source_lon.shape[0]
+    nzwn = zwn.shape[0]
+
+    f = interp.sample_mercator(
+        bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, source_lon, source_lat
+    )  # (18, nsource)
+    fmu, fmv = f[interp.M_U], f[interp.M_V]
+    fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
+
+    # Broadcast (nsource, nzwn) point x wavenumber grid.
+    roots, _ = solve_dispersion_cubic(
+        fmu[:, None], fmv[:, None], fmqx[:, None], fmqy[:, None],
+        bg.freq, zwn[None, :],
+    )  # (nsource, nzwn, 3)
+    mwn = jnp.transpose(roots, (2, 0, 1))  # (3, nsource, nzwn)
+
+    shape = (3, nsource, nzwn)
+    lon0 = jnp.broadcast_to(source_lon[None, :, None], shape)
+    lat0 = jnp.broadcast_to(source_lat[None, :, None], shape)
+    kx0 = jnp.broadcast_to(zwn[None, None, :], shape)
+    amp0 = jnp.where(jnp.isnan(mwn), undef, 1.0)
+
+    ug0, vg0 = group_velocity(
+        fmu[None, :, None], fmv[None, :, None],
+        fmqx[None, :, None], fmqy[None, :, None],
+        kx0, mwn, zero_invalid=True,
+    )
+
+    y0 = jnp.stack([
+        lon0.reshape(-1), lat0.reshape(-1), kx0.reshape(-1),
+        mwn.reshape(-1), amp0.reshape(-1),
+    ]).astype(bg.fields.dtype)
+    return y0, ug0.reshape(-1), vg0.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("nt",))
+def _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off):
+    ys, ugs, vgs = rk4_mod.trace(bg, y0, dt, nt, cut_off)
+    ugs = ugs.at[0].set(ug0)
+    vgs = vgs.at[0].set(vg0)
+    return ys, ugs, vgs
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "max_iters"))
+def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+              max_iters=100_000):
+    """Adaptive path (reference wr.py:767-887): scan over output intervals,
+    masked while_loop inside; termination masks and (ug, vg) re-derivation
+    after each interval exactly as the RK4 path."""
+
+    def rhs_fn(y):
+        dy, _ = ray_mod.rhs(bg, y)
+        return dy
+
+    f0 = rhs_fn(y0)
+    h0 = rk45_mod.select_initial_step(rhs_fn, y0, f0, rtol, atol)
+    t0 = jnp.zeros(y0.shape[1], y0.dtype)
+
+    t_bounds = (jnp.arange(1, nt, dtype=y0.dtype)) * dt
+
+    def interval(carry, t_bound):
+        y, t, h = carry
+        y_new, t, h, iters, nfev = rk45_mod.integrate_interval(
+            rhs_fn, y, t, h, t_bound, rtol, atol, min_step, max_iters
+        )
+        kill = ray_mod.kill_mask(y_new, y[S_LON], y[S_LAT], cut_off)
+        y_new = jnp.where(kill[None, :], jnp.nan, y_new)
+        ug, vg = ray_mod.group_velocity_at(
+            bg, y_new[S_LON], y_new[S_LAT], y_new[S_KX], y_new[S_KY]
+        )
+        return (y_new, t, h), (y_new, ug, vg, iters, nfev)
+
+    (_, _, _), (ys, ugs, vgs, iters, nfev) = jax.lax.scan(
+        interval, (y0, t0, h0), t_bounds
+    )
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    ugs = jnp.concatenate([ug0[None], ugs], axis=0)
+    vgs = jnp.concatenate([vg0[None], vgs], axis=0)
+    return ys, ugs, vgs, iters, nfev
+
+
+def trace_rays(
+    bs: BasicState,
+    config: RunConfig,
+    source_lon: Optional[np.ndarray] = None,
+    source_lat: Optional[np.ndarray] = None,
+) -> RayTrajectories:
+    """Run the full ray-tracing pipeline (reference wr.py:897-911).
+
+    Args:
+      bs: prepared basic state.
+      config: run configuration.
+      source_lon/source_lat: optional explicit source arrays in RADIANS
+        (reference set_source_array, wr.py:224-234); defaults to the config's
+        regular source matrix.
+    """
+    config.validate()
+    dtype = bs.fields.dtype
+    if source_lon is None:
+        source_lon, source_lat = source_matrix(
+            config.sw_lon, config.sw_lat, config.dlon, config.dlat,
+            config.nnx, config.nny,
+        )
+    source_lon = jnp.asarray(source_lon, dtype)
+    source_lat = jnp.asarray(source_lat, dtype)
+    zwn = jnp.asarray(config.zwn_array(), dtype)
+
+    bg = make_background(bs, config.freq)
+    y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+
+    nt = config.nt
+    dt = jnp.asarray(config.tstep, dtype)
+    cut_off = jnp.asarray(config.cut_off_rad, dtype)
+
+    if config.integrator == "rk4":
+        ys, ugs, vgs = _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
+    else:
+        min_step = min(
+            config.min_step_factor * config.tstep, config.tstep * 1e-3
+        )  # reference rkf45.py:362
+        ys, ugs, vgs, _, _ = _run_rk45(
+            bg, y0, ug0, vg0, dt, nt, cut_off,
+            jnp.asarray(config.rtol, dtype), jnp.asarray(config.atol, dtype),
+            jnp.asarray(min_step, dtype),
+        )
+
+    nsource = source_lon.shape[0]
+    out_shape = (nt, 3, nsource, len(config.zwn))
+
+    def reshape(a):
+        return a.reshape(out_shape)
+
+    return RayTrajectories(
+        lon=reshape(ys[:, S_LON]),
+        lat=reshape(ys[:, S_LAT]),
+        kx=reshape(ys[:, S_KX]),
+        ky=reshape(ys[:, S_KY]),
+        amp=reshape(ys[:, S_AMP]),
+        ug=reshape(ugs),
+        vg=reshape(vgs),
+    )
