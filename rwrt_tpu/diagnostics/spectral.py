@@ -1,0 +1,107 @@
+"""Spherical-harmonic spectral filtering of background fields (SHSF).
+
+TPU-native counterpart of the reference SHSF.py (reference SHSF.py:10-33):
+expand the gridded field in spherical harmonics, triangular-truncate at Lmax,
+and resynthesize -- the NCL shaec / tri_trunc / shsec pipeline used to smooth
+(u, v) before ray tracing (manual section 7; example Lmax ~ 180/dphi - 1).
+
+The reference delegates to pyshtools (absent here). This implementation is
+self-contained and TPU-friendly: longitude is handled by a real FFT and the
+latitude direction by dense Legendre matrices, so the whole filter is two
+batched matmuls around an FFT -- MXU work, jit-able, no host callbacks.
+
+Per zonal wavenumber m, the fitted coefficients are the least-squares
+projection of the FFT coefficients onto normalized associated Legendre
+functions up to Lmax (a pseudo-inverse, computed once on host and cached per
+(lat-grid, lmax)). For band-limited fields this equals truncate-after-full-
+expansion; for general fields it is the orthogonal projection onto the
+truncated basis, which is exactly the intent of the filter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalized_legendre(x: np.ndarray, lmax: int, m: int) -> np.ndarray:
+    """Normalized associated Legendre functions p̄_l^m(x), l = m..lmax.
+
+    Normalization: integral over [-1, 1] of p̄_l^m p̄_l'^m dx = delta_ll'.
+    Stable three-term recursion. Returns (len(x), lmax - m + 1).
+    """
+    x = np.asarray(x, np.float64)
+    s = np.sqrt(np.maximum(0.0, 1.0 - x * x))
+    # p̄_m^m
+    pmm = np.full_like(x, np.sqrt(0.5))
+    for k in range(1, m + 1):
+        pmm = pmm * s * np.sqrt((2 * k + 1) / (2.0 * k))
+    cols = [pmm]
+    if lmax > m:
+        cols.append(np.sqrt(2 * m + 3.0) * x * pmm)
+    for l in range(m + 2, lmax + 1):
+        a = np.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+        b = np.sqrt(((l - 1.0) ** 2 - m * m) / (4.0 * (l - 1.0) ** 2 - 1.0))
+        cols.append(a * (x * cols[-1] - b * cols[-2]))
+    return np.stack(cols, axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _filter_matrices(lat_key, lmax: int):
+    """Per-m latitude filter matrices F_m = S_m @ pinv(S_m), stacked.
+
+    lat_key: tuple of latitudes (radians). Returns (m_count, nlat, nlat)
+    float64 numpy array, where F_m projects a latitude profile onto the
+    Legendre basis of degrees m..lmax.
+    """
+    lat = np.asarray(lat_key)
+    x = np.sin(lat)
+    mats = []
+    for m in range(lmax + 1):
+        s = normalized_legendre(x, lmax, m)  # (nlat, lmax-m+1)
+        f = s @ np.linalg.pinv(s, rcond=1e-10)
+        mats.append(f)
+    return np.stack(mats)  # (lmax+1, nlat, nlat)
+
+
+def spectral_filter(field, lat, lmax: int):
+    """Triangular-truncation spherical-harmonic filter.
+
+    Args:
+      field: (nlon, nlat) gridded data.
+      lat: (nlat,) latitudes in radians, ascending.
+      lmax: truncation degree (reference example: 180/dphi_deg - 1,
+        SHSF.py:38).
+
+    Returns:
+      (nlon, nlat) filtered field, same dtype.
+    """
+    field = jnp.asarray(field)
+    nlon, nlat = field.shape
+    m_count = min(lmax, nlon // 2) + 1
+
+    mats = _filter_matrices(tuple(np.asarray(lat).tolist()), lmax)
+    mats = jnp.asarray(mats[:m_count], field.dtype)
+
+    fm = jnp.fft.rfft(field, axis=0)  # (nlon//2+1, nlat) complex
+    keep = fm[:m_count]
+    # Apply the per-m latitude projection: (m, nlat, nlat) x (m, nlat).
+    filt_re = jnp.einsum("mij,mj->mi", mats, jnp.real(keep))
+    filt_im = jnp.einsum("mij,mj->mi", mats, jnp.imag(keep))
+    filt = filt_re + 1j * filt_im
+    out = jnp.zeros(fm.shape, fm.dtype).at[:m_count].set(filt)
+    return jnp.fft.irfft(out, n=nlon, axis=0).astype(field.dtype)
+
+
+def shsf(data, lat, truncation_level: int):
+    """Reference-shaped entry point (SHSF.py:10): filter one or more fields.
+
+    data: (nlon, nlat) or (k, nlon, nlat).
+    """
+    data = jnp.asarray(data)
+    if data.ndim == 2:
+        return spectral_filter(data, lat, truncation_level)
+    return jnp.stack([spectral_filter(d, lat, truncation_level) for d in data])

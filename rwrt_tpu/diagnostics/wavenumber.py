@@ -1,0 +1,124 @@
+"""Grid-wide wavenumber diagnostics: mwn roots and group velocities everywhere.
+
+TPU-native counterpart of the reference WN class (reference wn.py:21-135) --
+the stationary/non-stationary wavenumber maps of Hoskins & Ambrizzi 1993 /
+Hoskins & Yang 1996. The reference loops every grid point on host and, due to
+an inverted None-check (wn.py:71-72: `if result is None:
+self._solve_at_grid_point(...)`), never actually solves at valid points; the
+clear intent (wn.py:74-87) is implemented here by construction: one fused
+vectorized solve over the whole (nlon x nlat x nzwn) grid.
+
+Also provides the NaN in-fill helpers (wn.py:93-128) as pure jnp; like the
+reference, in-filling is NOT applied by default (wn.py:110: postprocess kept
+out of the main flow for Fortran parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rwrt_tpu.models.basic_state import BasicState
+from rwrt_tpu.ops import interp
+from rwrt_tpu.ops.cubic import solve_dispersion_cubic
+from rwrt_tpu.ops.groupvel import group_velocity
+
+
+class WavenumberMaps(NamedTuple):
+    """Gridded diagnostics, shapes (nlon, nlat, nzwn, 3) / (nlon, nlat, nzwn).
+
+    Matches the reference WN array layout (wn.py:43-46).
+    """
+
+    mwn: jnp.ndarray      # meridional wavenumber roots
+    rootnum: jnp.ndarray  # number of real propagating roots
+    ug: jnp.ndarray       # zonal group velocity per root
+    vg: jnp.ndarray       # meridional group velocity per root
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _compute(fields, lon0, lat0, dx, dy, glon, glat, zwn, freq):
+    nlon, nlat = glon.shape[0], glat.shape[0]
+    lon_pts = jnp.repeat(glon, nlat)
+    lat_pts = jnp.tile(glat, nlon)
+    f = interp.sample_mercator(fields, lon0, lat0, dx, dy, lon_pts, lat_pts)
+    fmu, fmv = f[interp.M_U], f[interp.M_V]
+    fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
+
+    roots, count = solve_dispersion_cubic(
+        fmu[:, None], fmv[:, None], fmqx[:, None], fmqy[:, None],
+        freq, zwn[None, :],
+    )  # (npts, nzwn, 3), (npts, nzwn)
+
+    ug, vg = group_velocity(
+        fmu[:, None, None], fmv[:, None, None],
+        fmqx[:, None, None], fmqy[:, None, None],
+        zwn[None, :, None], roots,
+    )
+    # Reference stores 0 group velocity for rootless slots (wn.py:87).
+    dead = jnp.isnan(roots)
+    ug = jnp.where(dead, 0.0, ug)
+    vg = jnp.where(dead, 0.0, vg)
+
+    shape4 = (nlon, nlat, zwn.shape[0], 3)
+    return (
+        roots.reshape(shape4),
+        count.reshape(nlon, nlat, zwn.shape[0]),
+        ug.reshape(shape4),
+        vg.reshape(shape4),
+    )
+
+
+def compute_wavenumber_maps(bs: BasicState, zwn, freq: float = 0.0) -> WavenumberMaps:
+    """Solve the dispersion relation at EVERY grid point x zonal wavenumber."""
+    dtype = bs.fields.dtype
+    mwn, rootnum, ug, vg = _compute(
+        bs.fields, bs.lon[0].astype(dtype), bs.lat[0].astype(dtype),
+        jnp.asarray(bs.dx, dtype), jnp.asarray(bs.dy, dtype),
+        bs.lon.astype(dtype), bs.lat.astype(dtype),
+        jnp.asarray(zwn, dtype), jnp.asarray(freq, dtype),
+    )
+    return WavenumberMaps(mwn=mwn, rootnum=rootnum, ug=ug, vg=vg)
+
+
+def fill_nan_neighborhood_mean(arr: jnp.ndarray, size: int = 3) -> jnp.ndarray:
+    """Replace NaNs by the mean of valid neighbors in a size x size window
+    over the leading two (lon, lat) axes, lon wrapping (reference
+    fast_fill_nan, wn.py:93-108)."""
+    mask = jnp.isnan(arr)
+    filled0 = jnp.where(mask, 0.0, arr)
+    weight = (~mask).astype(arr.dtype)
+    half = size // 2
+
+    def window_sum(x):
+        total = jnp.zeros_like(x)
+        for di in range(-half, half + 1):
+            rolled = jnp.roll(x, di, axis=0)  # lon wraps
+            for dj in range(-half, half + 1):
+                shifted = jnp.roll(rolled, dj, axis=1)
+                # lat edges: emulate uniform_filter 'wrap' used by the
+                # reference (mode='wrap', wn.py:102-103)
+                total = total + shifted
+        return total
+
+    s = window_sum(filled0)
+    w = window_sum(weight)
+    fill = s / jnp.where(w == 0.0, 1.0, w)
+    fill = jnp.where(w == 0.0, jnp.nan, fill)
+    return jnp.where(mask, fill, arr)
+
+
+def turning_critical_masks(bs: BasicState, zwn) -> jnp.ndarray:
+    """Turning/critical-latitude masks per zonal wavenumber.
+
+    A wave with dimensionless wavenumber k can propagate where Ks > k
+    (critical latitude where u -> 0 => Ks -> inf is never masked; turning
+    latitude where Ks == k). Returns bool (nlon, nlat, nzwn): True where
+    propagation is allowed. (BASELINE.json config 3.)
+    """
+    ks = bs.ks[..., None]
+    k = jnp.asarray(zwn)[None, None, :]
+    return jnp.isfinite(ks) & (ks > k)

@@ -1,0 +1,205 @@
+"""Host-side IO: background ingest and result output.
+
+TPU-native counterpart of the reference's NetCDF plumbing:
+
+- ``load_wind``: reference BS.loadbs_ncfile (bs.py:202-262) -- reads u, v,
+  auto-detects lat/lon variable names from candidate lists, builds a regular
+  grid with a warning if absent, transposes (lat, lon) -> (lon, lat), and
+  flips latitude to ascending order.
+- ``write_basic_state``: reference BS.output (bs.py:461-511) -- the 23
+  two-dimensional diagnostic fields + coordinates.
+- ``write_trajectories``: reference WR.output (wr.py:916-959) -- dims
+  (time, root, source, zwn), lon/lat converted to degrees.
+
+netCDF4 is not guaranteed in this environment, so every function gates on its
+availability and transparently falls back to ``.npz`` containers with the
+same variable names (a ``.npz`` path always uses the npz writer; a ``.nc``
+path requires netCDF4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from rwrt_tpu.constants import deg2rad, rad2deg
+from rwrt_tpu.models.basic_state import FIELD_NAMES, BasicState
+from rwrt_tpu.tracer import RayTrajectories
+
+try:  # pragma: no cover - environment dependent
+    import netCDF4 as _nc
+
+    HAVE_NETCDF = True
+except ImportError:  # pragma: no cover
+    _nc = None
+    HAVE_NETCDF = False
+
+LAT_CANDIDATES = ("lat", "latitude", "Lat", "Latitude")
+LON_CANDIDATES = ("lon", "longitude", "Lon", "Longitude")
+
+
+def _is_npz(path: str) -> bool:
+    return str(path).endswith(".npz")
+
+
+def load_wind(path: str, read_dtype="float32") -> Tuple[np.ndarray, np.ndarray,
+                                                        np.ndarray, np.ndarray]:
+    """Load (u, v, lat, lon); u/v returned (nlon, nlat), lat ascending radians.
+
+    Accepts NetCDF (requires netCDF4) or .npz with keys u, v [, lat, lon]
+    where u/v are (lat, lon) like the NetCDF convention.
+    """
+    if _is_npz(path):
+        with np.load(path) as ds:
+            u = np.asarray(ds["u"], read_dtype)
+            v = np.asarray(ds["v"], read_dtype)
+            lat = np.asarray(ds["lat"], np.float64) if "lat" in ds else None
+            lon = np.asarray(ds["lon"], np.float64) if "lon" in ds else None
+    else:
+        if not HAVE_NETCDF:
+            raise RuntimeError(
+                "netCDF4 is not installed; convert the input to .npz "
+                "(keys u, v, lat, lon) or install netCDF4"
+            )
+        with _nc.Dataset(path) as ds:
+            u = np.asarray(ds.variables["u"][:], read_dtype)
+            v = np.asarray(ds.variables["v"][:], read_dtype)
+            lat = lon = None
+            for name in LAT_CANDIDATES:
+                if name in ds.variables:
+                    lat = np.asarray(ds.variables[name][:], np.float64)
+                    break
+            for name in LON_CANDIDATES:
+                if name in ds.variables:
+                    lon = np.asarray(ds.variables[name][:], np.float64)
+                    break
+
+    nlat, nlon = u.shape[-2], u.shape[-1]
+    if lat is None or lon is None:
+        print(
+            "###WARNING: lon and lat not found. Make sure your lats are from "
+            "90S to 90N and lons are from 0E to 360E###"
+        )
+    if lat is None:
+        lat = -90.0 + np.arange(nlat) * (180.0 / (nlat - 1))
+    if lon is None:
+        lon = np.arange(nlon) * (360.0 / nlon)
+
+    # Flip latitude to ascending (reference bs.py:252-256).
+    if lat[0] > lat[-1]:
+        lat = lat[::-1]
+        u = u[..., ::-1, :]
+        v = v[..., ::-1, :]
+    # (lat, lon) -> (lon, lat) (reference bs.py:245-247).
+    u = np.moveaxis(u, -1, -2)
+    v = np.moveaxis(v, -1, -2)
+    return u, v, np.ascontiguousarray(lat) * deg2rad, np.ascontiguousarray(lon) * deg2rad
+
+
+def basic_state_fields(bs: BasicState) -> Dict[str, np.ndarray]:
+    """The 23-field diagnostic dict of reference BS.output (bs.py:481-505)."""
+    nlon = bs.nlon
+    f = np.asarray(bs.fields)[:nlon]
+    out = {name: f[..., i] for i, name in enumerate(FIELD_NAMES)}
+    # uxx/vxx/uyy/vyy are in the reference's output set but not in the stack;
+    # recompute cheaply on host.
+    from rwrt_tpu.ops import grid as g
+    import jax.numpy as jnp
+
+    u = jnp.asarray(out["u"])
+    v = jnp.asarray(out["v"])
+    extra = {
+        "uxx": g.gradient_xx(u, bs.dx),
+        "uyy": g.gradient_yy(u, bs.dy),
+        "vxx": g.gradient_xx(v, bs.dx),
+        "vyy": g.gradient_yy(v, bs.dy),
+    }
+    out.update({k: np.asarray(val) for k, val in extra.items()})
+    out["q"] = np.asarray(bs.q)
+    out["betam"] = np.asarray(bs.betam)
+    out["KS"] = np.asarray(bs.ks)
+    return out
+
+
+def write_basic_state(bs: BasicState, path: str) -> None:
+    """Write the basic-state diagnostics (reference BS.output, bs.py:461-511)."""
+    fields = basic_state_fields(bs)
+    lon_deg = np.asarray(bs.lon) * rad2deg
+    lat_deg = np.asarray(bs.lat) * rad2deg
+    if _is_npz(path) or not HAVE_NETCDF:
+        if not _is_npz(path):
+            path = str(path) + ".npz"
+        np.savez_compressed(path, lon=lon_deg, lat=lat_deg, **fields)
+        return
+    with _nc.Dataset(path, "w", format="NETCDF4") as ds:  # pragma: no cover
+        ds.createDimension("lon", bs.nlon)
+        ds.createDimension("lat", bs.nlat)
+        for name, data, unit in (
+            ("lon", lon_deg, "degrees_east"), ("lat", lat_deg, "degrees_north")
+        ):
+            var = ds.createVariable(name, "f8", (name,))
+            var[:] = data
+            var.units = unit
+        units = {"u": "m/s", "v": "m/s", "q": "1/s",
+                 "betam": "1/(m*s)", "KS": "1/m"}
+        for name, data in fields.items():
+            var = ds.createVariable(name, "f8", ("lon", "lat"),
+                                    zlib=True, complevel=4)
+            var[:, :] = data
+            var.units = units.get(name, "None")
+
+
+def write_trajectories(traj: RayTrajectories, path: str,
+                       zwn: Optional[np.ndarray] = None) -> None:
+    """Write ray trajectories (reference WR.output, wr.py:916-959).
+
+    Variables rlon/rlat (degrees), rzwn, rmwn, ramp, rug, rvg over dims
+    (time, root, source, zwn).
+    """
+    data = {
+        "rlon": np.asarray(traj.lon) * rad2deg,
+        "rlat": np.asarray(traj.lat) * rad2deg,
+        "rzwn": np.asarray(traj.kx),
+        "rmwn": np.asarray(traj.ky),
+        "ramp": np.asarray(traj.amp),
+        "rug": np.asarray(traj.ug),
+        "rvg": np.asarray(traj.vg),
+    }
+    nt, nroot, nsource, nzwn = data["rlon"].shape
+    if zwn is None:
+        zwn = data["rzwn"][0, 0, 0, :]
+    if _is_npz(path) or not HAVE_NETCDF:
+        if not _is_npz(path):
+            path = str(path) + ".npz"
+        np.savez_compressed(
+            path, zwn=np.asarray(zwn), source_index=np.arange(nsource),
+            time_index=np.arange(nt), **data,
+        )
+        return
+    with _nc.Dataset(path, "w") as ds:  # pragma: no cover
+        ds.createDimension("zwn", nzwn)
+        ds.createDimension("source", nsource)
+        ds.createDimension("root", nroot)
+        ds.createDimension("time", nt)
+        ds.createVariable("zwn", "f8", ("zwn",))[:] = np.asarray(zwn)
+        ds.createVariable("source_index", "i4", ("source",))[:] = np.arange(nsource)
+        ds.createVariable("time_index", "i4", ("time",))[:] = np.arange(nt)
+        units = {"rlon": "degrees", "rlat": "degrees",
+                 "rzwn": "rad_per_meter*Rearth", "rug": "m s-1", "rvg": "m s-1"}
+        for name, arr in data.items():
+            var = ds.createVariable(name, "f8", ("time", "root", "source", "zwn"))
+            var[:] = arr
+            if name in units:
+                var.units = units[name]
+
+
+def load_trajectories(path: str) -> Dict[str, np.ndarray]:
+    """Read a trajectory file written by write_trajectories (either format)."""
+    if _is_npz(path):
+        with np.load(path) as ds:
+            return {k: np.asarray(ds[k]) for k in ds.files}
+    if not HAVE_NETCDF:
+        raise RuntimeError("netCDF4 not installed; use the .npz format")
+    with _nc.Dataset(path) as ds:  # pragma: no cover
+        return {k: np.asarray(v[:]) for k, v in ds.variables.items()}

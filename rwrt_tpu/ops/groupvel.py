@@ -14,9 +14,9 @@ Here there is one jnp implementation; NaN handling is selected by the
 - zero_invalid=False (the hot-loop 'extent' semantics, wn.py:318-342): NaNs
   propagate -- dead rays produce NaN group velocity.
 - zero_invalid=True (the initialization 'numpy' semantics, wn.py:209-259):
-  entries where any of mwn, fu, fqx, fqy is NaN return 0.0, and zwn == 0
-  returns zeros, matching the initial rug/rvg = 0 written for root-less slots
-  (reference wr.py:393-395).
+  zwn == 0 returns zeros. Note the reference's attempted NaN-zeroing there is
+  an IEEE no-op (wn.py:256-257 computes NaN * 0 = NaN), so NaN inputs yield
+  NaN in BOTH dialects; only the zwn == 0 shortcut differs.
 """
 
 from __future__ import annotations
@@ -37,14 +37,7 @@ def group_velocity(
     ug = fu + ((1.0 - kap2) * fqy - 2.0 * kap * fqx) / denom
     vg = fv + (2.0 * kap * fqy + (1.0 - kap2) * fqx) / denom
     if zero_invalid:
-        # The reference's NaN test covers mwn, fu, fqx, fqy but NOT fv
-        # (wn.py:229: nans built from mwn*0 and fu*fqx*fqy*0).
-        bad = (
-            jnp.isnan(mwn)
-            | jnp.isnan(fu + fqx + fqy)
-            | (zwn == 0.0)
-        )
         zero = jnp.zeros_like(ug)
-        ug = jnp.where(bad, zero, ug)
-        vg = jnp.where(bad, zero, vg)
+        ug = jnp.where(zwn == 0.0, zero, ug)
+        vg = jnp.where(zwn == 0.0, zero, vg)
     return ug, vg

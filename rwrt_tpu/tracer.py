@@ -129,30 +129,35 @@ def initialize(
     return y0, ug0.reshape(-1), vg0.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("nt",))
-def _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off):
-    ys, ugs, vgs = rk4_mod.trace(bg, y0, dt, nt, cut_off)
-    ugs = ugs.at[0].set(ug0)
-    vgs = vgs.at[0].set(vg0)
-    return ys, ugs, vgs
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _rk4_chunk(bg, y, dt, n_steps: int, cut_off):
+    """n_steps RK4 output steps from carry y; returns (y, (ys, ugs, vgs))."""
+
+    def step(y, _):
+        y_new = rk4_mod.rk4_step(bg, y, dt)
+        kill = ray_mod.kill_mask(y_new, y[S_LON], y[S_LAT], cut_off)
+        y_new = jnp.where(kill[None, :], jnp.nan, y_new)
+        ug, vg = ray_mod.group_velocity_at(
+            bg, y_new[S_LON], y_new[S_LAT], y_new[S_KX], y_new[S_KY]
+        )
+        return y_new, (y_new, ug, vg)
+
+    return jax.lax.scan(step, y, None, length=n_steps)
 
 
-@functools.partial(jax.jit, static_argnames=("nt", "max_iters"))
-def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
-              max_iters=100_000):
-    """Adaptive path (reference wr.py:767-887): scan over output intervals,
-    masked while_loop inside; termination masks and (ug, vg) re-derivation
-    after each interval exactly as the RK4 path."""
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _rk45_chunk(bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step,
+                max_iters=100_000):
+    """Adaptive steps to each of t_bounds from carry (y, t, h).
 
-    def rhs_fn(y):
-        dy, _ = ray_mod.rhs(bg, y)
+    One scan over output intervals with the masked per-ray while_loop inside;
+    termination masks and (ug, vg) re-derivation after each interval exactly
+    as the RK4 path (reference wr.py:831-885).
+    """
+
+    def rhs_fn(yy):
+        dy, _ = ray_mod.rhs(bg, yy)
         return dy
-
-    f0 = rhs_fn(y0)
-    h0 = rk45_mod.select_initial_step(rhs_fn, y0, f0, rtol, atol)
-    t0 = jnp.zeros(y0.shape[1], y0.dtype)
-
-    t_bounds = (jnp.arange(1, nt, dtype=y0.dtype)) * dt
 
     def interval(carry, t_bound):
         y, t, h = carry
@@ -166,8 +171,37 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
         )
         return (y_new, t, h), (y_new, ug, vg, iters, nfev)
 
-    (_, _, _), (ys, ugs, vgs, iters, nfev) = jax.lax.scan(
-        interval, (y0, t0, h0), t_bounds
+    return jax.lax.scan(interval, (y, t, h), t_bounds)
+
+
+def initial_step_sizes(bg, y0, rtol, atol):
+    """Per-ray initial h for the adaptive solver (reference rkf45.py:34-99)."""
+
+    def rhs_fn(yy):
+        dy, _ = ray_mod.rhs(bg, yy)
+        return dy
+
+    return rk45_mod.select_initial_step(rhs_fn, y0, rhs_fn(y0), rtol, atol)
+
+
+@functools.partial(jax.jit, static_argnames=("nt",))
+def _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off):
+    ys, ugs, vgs = rk4_mod.trace(bg, y0, dt, nt, cut_off)
+    ugs = ugs.at[0].set(ug0)
+    vgs = vgs.at[0].set(vg0)
+    return ys, ugs, vgs
+
+
+@functools.partial(jax.jit, static_argnames=("nt", "max_iters"))
+def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+              max_iters=100_000):
+    """Full adaptive run (reference wr.py:767-887) as one fused program."""
+    h0 = initial_step_sizes(bg, y0, rtol, atol)
+    t0 = jnp.zeros(y0.shape[1], y0.dtype)
+    t_bounds = (jnp.arange(1, nt, dtype=y0.dtype)) * dt
+
+    _, (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
+        bg, y0, t0, h0, t_bounds, cut_off, rtol, atol, min_step, max_iters
     )
     ys = jnp.concatenate([y0[None], ys], axis=0)
     ugs = jnp.concatenate([ug0[None], ugs], axis=0)
@@ -180,6 +214,7 @@ def trace_rays(
     config: RunConfig,
     source_lon: Optional[np.ndarray] = None,
     source_lat: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> RayTrajectories:
     """Run the full ray-tracing pipeline (reference wr.py:897-911).
 
@@ -189,6 +224,8 @@ def trace_rays(
       source_lon/source_lat: optional explicit source arrays in RADIANS
         (reference set_source_array, wr.py:224-234); defaults to the config's
         regular source matrix.
+      mesh: optional jax.sharding.Mesh; the ray batch is sharded along its
+        'rays' axis, the background replicated (see parallel/sharding.py).
     """
     config.validate()
     dtype = bs.fields.dtype
@@ -203,6 +240,19 @@ def trace_rays(
 
     bg = make_background(bs, config.freq)
     y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+
+    n_rays = y0.shape[1]
+    if mesh is not None:
+        from rwrt_tpu.parallel import sharding as sh
+
+        n_shards = mesh.devices.size
+        y0, _ = sh.pad_rays(y0, n_shards)
+        ug0, _ = sh.pad_rays(ug0, n_shards)
+        vg0, _ = sh.pad_rays(vg0, n_shards)
+        y0 = sh.shard_rays(y0, mesh)
+        ug0 = sh.shard_rays(ug0, mesh)
+        vg0 = sh.shard_rays(vg0, mesh)
+        bg = sh.replicate(bg, mesh)
 
     nt = config.nt
     dt = jnp.asarray(config.tstep, dtype)
@@ -224,7 +274,7 @@ def trace_rays(
     out_shape = (nt, 3, nsource, len(config.zwn))
 
     def reshape(a):
-        return a.reshape(out_shape)
+        return a[..., :n_rays].reshape(out_shape)
 
     return RayTrajectories(
         lon=reshape(ys[:, S_LON]),

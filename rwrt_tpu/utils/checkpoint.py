@@ -1,0 +1,166 @@
+"""Chunked integration driver with checkpoint/resume and progress reporting.
+
+The reference has stage-level restart only (basic state written to a file and
+reloadable, reference bs.py:409-454, 461-511; initial conditions injectable,
+wr.py:398-415). Mid-run checkpointing is trivial in the TPU design because the
+whole integration state is one small carry: the (5, R) ray state plus, for the
+adaptive solver, per-ray (t, h). This module runs the integration in chunks of
+output intervals (each chunk one jitted call), persisting carry + accumulated
+history between chunks, so a killed run resumes from the last chunk boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rwrt_tpu.config import RunConfig
+from rwrt_tpu.models.basic_state import BasicState
+from rwrt_tpu.tracer import (
+    RayTrajectories,
+    initial_step_sizes,
+    initialize,
+    make_background,
+    source_matrix,
+    _rk45_chunk,
+    _rk4_chunk,
+)
+from rwrt_tpu.utils.observability import Progress, run_banner
+
+
+def _save(path, step, y, t, h, hist):
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(
+        tmp, step=step, y=np.asarray(y), t=np.asarray(t), h=np.asarray(h),
+        **{f"hist_{k}": v for k, v in hist.items()},
+    )
+    os.replace(tmp, path)
+
+
+def _load(path):
+    with np.load(path) as ds:
+        step = int(ds["step"])
+        y, t, h = ds["y"], ds["t"], ds["h"]
+        hist = {k[5:]: ds[k] for k in ds.files if k.startswith("hist_")}
+    return step, y, t, h, hist
+
+
+def trace_rays_chunked(
+    bs: BasicState,
+    config: RunConfig,
+    *,
+    chunk_steps: int = 64,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = True,
+    verbose: bool = True,
+    source_lon=None,
+    source_lat=None,
+    mesh=None,
+) -> RayTrajectories:
+    """Like tracer.trace_rays but chunked, with progress + checkpointing."""
+    config.validate()
+    dtype = bs.fields.dtype
+    if source_lon is None:
+        source_lon, source_lat = source_matrix(
+            config.sw_lon, config.sw_lat, config.dlon, config.dlat,
+            config.nnx, config.nny,
+        )
+    source_lon = jnp.asarray(source_lon, dtype)
+    source_lat = jnp.asarray(source_lat, dtype)
+    zwn = jnp.asarray(config.zwn_array(), dtype)
+
+    bg = make_background(bs, config.freq)
+    y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+    if mesh is not None:
+        from rwrt_tpu.parallel import sharding as sh
+
+        n_shards = mesh.devices.size
+        y0, _ = sh.pad_rays(y0, n_shards)
+        ug0, _ = sh.pad_rays(ug0, n_shards)
+        vg0, _ = sh.pad_rays(vg0, n_shards)
+        y0 = sh.shard_rays(y0, mesh)
+        bg = sh.replicate(bg, mesh)
+
+    nt = config.nt
+    n_rays = y0.shape[1]
+    dt = jnp.asarray(config.tstep, dtype)
+    cut_off = jnp.asarray(config.cut_off_rad, dtype)
+    rtol = jnp.asarray(config.rtol, dtype)
+    atol = jnp.asarray(config.atol, dtype)
+    min_step = jnp.asarray(
+        min(config.min_step_factor * config.tstep, config.tstep * 1e-3), dtype
+    )
+
+    if verbose:
+        run_banner(config, bs.nlon, bs.nlat)
+
+    hist = {
+        k: np.full((nt, n_rays), np.nan, np.asarray(y0).dtype)
+        for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+    }
+    for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
+        hist[k][0] = np.asarray(y0[i])
+    hist["ug"][0] = np.asarray(ug0)
+    hist["vg"][0] = np.asarray(vg0)
+
+    y = y0
+    t = jnp.zeros(n_rays, dtype)
+    h = None
+    start = 1
+
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        step, y_np, t_np, h_np, hist_l = _load(checkpoint_path)
+        start = step
+        y = jnp.asarray(y_np)
+        t = jnp.asarray(t_np)
+        h = jnp.asarray(h_np) if h_np.ndim else None
+        for k in hist:
+            hist[k][: hist_l[k].shape[0]] = hist_l[k]
+        if verbose:
+            print(f"resumed from {checkpoint_path} at step {start}")
+
+    if config.integrator == "rk45" and h is None:
+        h = initial_step_sizes(bg, y, rtol, atol)
+    elif h is None:
+        h = jnp.zeros(n_rays, dtype)
+
+    progress = Progress(nt - 1) if verbose else None
+    step = start
+    while step < nt:
+        n = min(chunk_steps, nt - step)
+        t_bounds = (jnp.arange(step, step + n, dtype=dtype)) * dt
+        if config.integrator == "rk4":
+            y, (ys, ugs, vgs) = _rk4_chunk(bg, y, dt, n, cut_off)
+            ray_steps = n * n_rays
+        else:
+            (y, t, h), (ys, ugs, vgs, iters, _) = _rk45_chunk(
+                bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
+            )
+            ray_steps = int(np.asarray(iters).sum()) * n_rays
+        ys = np.asarray(ys)
+        for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
+            hist[k][step : step + n] = ys[:, i]
+        hist["ug"][step : step + n] = np.asarray(ugs)
+        hist["vg"][step : step + n] = np.asarray(vgs)
+        step += n
+        if progress:
+            progress.update(step - 1, ray_steps)
+        if checkpoint_path:
+            _save(
+                checkpoint_path, step, y, t,
+                h if h is not None else np.zeros(()),
+                {k: v[:step] for k, v in hist.items()},
+            )
+
+    nsource = source_lon.shape[0]
+    out_shape = (nt, 3, nsource, len(config.zwn))
+    r_orig = 3 * nsource * len(config.zwn)
+    return RayTrajectories(
+        **{
+            k: jnp.asarray(hist[k][:, :r_orig].reshape(out_shape))
+            for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+        }
+    )

@@ -1,0 +1,39 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+Must set XLA flags before jax initializes (multi-chip sharding tests run on a
+virtual CPU mesh; float64 gives bit-parity headroom for golden tests against
+the float64 reference).
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
+# but tests need float64 bit-parity and a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def jet_field():
+    """Synthetic zonally-varying jet background used across golden tests."""
+    nlon, nlat = 72, 37
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon = np.arange(nlon) * 2 * np.pi / nlon
+    u = (
+        20.0 * np.cos(lat)[None, :] ** 2
+        + 8.0 * np.cos(2 * lon)[:, None] * np.cos(lat)[None, :] ** 2
+        + 25.0 * np.exp(-(((np.degrees(lat)[None, :] - 40.0) / 12.0) ** 2))
+    )
+    v = 3.0 * np.sin(lon)[:, None] * np.cos(lat)[None, :]
+    return u.astype(np.float64), v.astype(np.float64), lat, lon

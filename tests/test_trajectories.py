@@ -1,0 +1,147 @@
+"""End-to-end golden trajectory tests against the reference integrators.
+
+The reference's root-slot ordering depends on its eigenvalue solver (see
+ops/cubic.py docstring), so trajectories are compared per (source, zwn) after
+matching root slots by their initial meridional wavenumber. The acceptance
+gate from BASELINE.md is position RMSE < 0.1 deg; with both sides in float64
+the agreement should be far tighter.
+"""
+
+import numpy as np
+import pytest
+
+import rwrt_tpu as rt
+from rwrt_tpu.config import RunConfig
+
+from refshim import run_reference_wr
+
+HOUR = 3600.0
+DAY = 86400.0
+
+CASE = dict(
+    zwn=(2.0, 4.0, 6.0),
+    sw_lon=0.0, sw_lat=10.0, dlon=120.0, dlat=15.0, nnx=3, nny=3,
+    tstep=2 * HOUR, ttotal=10 * DAY,
+)
+
+
+@pytest.fixture(scope="module")
+def ours_bs(jet_field):
+    u, v, lat, lon = jet_field
+    return rt.prepare(u, v, lat, lon, xcyclic=True,
+                      read_dtype="float32", cal_dtype="float64")
+
+
+def _match_slots(ref_m0, our_m0):
+    """Permutation p such that our slot p[i] pairs with ref slot i."""
+    perm = [-1, -1, -1]
+    used = set()
+    for i in range(3):
+        rv = ref_m0[i]
+        best, best_d = -1, np.inf
+        for j in range(3):
+            if j in used:
+                continue
+            ov = our_m0[j]
+            if np.isnan(rv) and np.isnan(ov):
+                d = 0.0
+            elif np.isnan(rv) or np.isnan(ov):
+                d = np.inf
+            else:
+                d = abs(rv - ov)
+            if d < best_d:
+                best, best_d = j, d
+        perm[i] = best
+        used.add(best)
+    return perm
+
+
+def _compare(ref_wr, traj, rmse_deg_gate=1e-3, nan_mismatch_frac=0.02):
+    nt, _, nsource, nzwn = ref_wr.rlon.shape
+    ref_lon = np.asarray(ref_wr.rlon)
+    ref_lat = np.asarray(ref_wr.rlat)
+    ref_m = np.asarray(ref_wr.rmwn)
+    our_lon = np.asarray(traj.lon)
+    our_lat = np.asarray(traj.lat)
+    our_m = np.asarray(traj.ky)
+
+    sq_sum, n_pts, nan_mismatch, total = 0.0, 0, 0, 0
+    for s in range(nsource):
+        for z in range(nzwn):
+            perm = _match_slots(ref_m[0, :, s, z], our_m[0, :, s, z])
+            for i in range(3):
+                j = perm[i]
+                rl, ro = ref_lat[:, i, s, z], our_lat[:, j, s, z]
+                gl, go = ref_lon[:, i, s, z], our_lon[:, j, s, z]
+                both = np.isfinite(rl) & np.isfinite(ro)
+                nan_mismatch += int(np.sum(np.isfinite(rl) != np.isfinite(ro)))
+                total += nt
+                if both.any():
+                    dlat = rl[both] - ro[both]
+                    dlon = (gl[both] - go[both] + np.pi) % (2 * np.pi) - np.pi
+                    sq_sum += float(np.sum(dlat**2 + (dlon * np.cos(rl[both])) ** 2))
+                    n_pts += int(both.sum())
+    rmse_deg = np.degrees(np.sqrt(sq_sum / max(n_pts, 1)))
+    frac = nan_mismatch / total
+    assert n_pts > 0
+    assert rmse_deg < rmse_deg_gate, f"trajectory RMSE {rmse_deg} deg"
+    assert frac < nan_mismatch_frac, f"alive/dead mismatch fraction {frac}"
+    return rmse_deg, frac
+
+
+def test_rk4_trajectories_match_reference(jet_field, ours_bs):
+    u, v, lat, lon = jet_field
+    ref = run_reference_wr(u, v, lat, lon, inte_method="", **CASE)
+    cfg = RunConfig(
+        zwn=CASE["zwn"], sw_lon=CASE["sw_lon"], sw_lat=CASE["sw_lat"],
+        dlon=CASE["dlon"], dlat=CASE["dlat"], nnx=CASE["nnx"], nny=CASE["nny"],
+        tstep=CASE["tstep"], ttotal=CASE["ttotal"],
+        integrator="rk4", cal_dtype="float64",
+    )
+    traj = rt.trace_rays(ours_bs, cfg)
+    rmse, frac = _compare(ref, traj)
+    print(f"RK4 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
+
+
+def test_rk45_trajectories_match_reference(jet_field, ours_bs):
+    u, v, lat, lon = jet_field
+    ref = run_reference_wr(u, v, lat, lon, inte_method="rk45", **CASE)
+    cfg = RunConfig(
+        zwn=CASE["zwn"], sw_lon=CASE["sw_lon"], sw_lat=CASE["sw_lat"],
+        dlon=CASE["dlon"], dlat=CASE["dlat"], nnx=CASE["nnx"], nny=CASE["nny"],
+        tstep=CASE["tstep"], ttotal=CASE["ttotal"],
+        integrator="rk45", cal_dtype="float64",
+    )
+    traj = rt.trace_rays(ours_bs, cfg)
+    rmse, frac = _compare(ref, traj, rmse_deg_gate=0.01)
+    print(f"RK45 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
+
+
+def test_rk4_amp_and_wavenumbers_match(jet_field, ours_bs):
+    u, v, lat, lon = jet_field
+    ref = run_reference_wr(u, v, lat, lon, inte_method="", **CASE)
+    cfg = RunConfig(
+        zwn=CASE["zwn"], sw_lon=CASE["sw_lon"], sw_lat=CASE["sw_lat"],
+        dlon=CASE["dlon"], dlat=CASE["dlat"], nnx=CASE["nnx"], nny=CASE["nny"],
+        tstep=CASE["tstep"], ttotal=CASE["ttotal"],
+        integrator="rk4", cal_dtype="float64",
+    )
+    traj = rt.trace_rays(ours_bs, cfg)
+    ref_m = np.asarray(ref.rmwn)
+    nt, _, ns, nz = ref_m.shape
+    our = {k: np.asarray(getattr(traj, k)) for k in ("ky", "amp", "ug", "vg")}
+    refd = {"ky": ref_m, "amp": np.asarray(ref.ramp),
+            "ug": np.asarray(ref.rug), "vg": np.asarray(ref.rvg)}
+    errs = []
+    for s in range(ns):
+        for z in range(nz):
+            perm = _match_slots(ref_m[0, :, s, z], our["ky"][0, :, s, z])
+            for i in range(3):
+                j = perm[i]
+                for k in our:
+                    a, b = refd[k][:, i, s, z], our[k][:, j, s, z]
+                    both = np.isfinite(a) & np.isfinite(b)
+                    if both.any():
+                        scale = np.max(np.abs(a[both])) + 1e-12
+                        errs.append(np.max(np.abs(a[both] - b[both])) / scale)
+    assert max(errs) < 1e-3, f"max relative field error {max(errs)}"
