@@ -59,6 +59,10 @@ class BasicState(NamedTuple):
     ks: jnp.ndarray
     q: jnp.ndarray
     xcyclic: bool
+    # Time axis metadata; meaningful only when fields is 4-D (T, W, H, 18)
+    # (time-varying background, BASELINE.json config 4).
+    bg_t0: float = 0.0
+    bg_dt: float = 1.0
 
     @property
     def nlon(self) -> int:
@@ -163,4 +167,48 @@ def prepare(
     return BasicState(
         fields=fields, lon=lon, lat=lat, betam=betam, ks=ks, q=q,
         xcyclic=xcyclic,
+    )
+
+
+def prepare_time_varying(
+    u,
+    v,
+    lat=None,
+    lon=None,
+    *,
+    bg_t0: float = 0.0,
+    bg_dt: float,
+    xcyclic: bool = True,
+    read_dtype=jnp.float32,
+    cal_dtype=jnp.float32,
+) -> BasicState:
+    """Build a time-varying BasicState from (T, nlon, nlat) wind frames.
+
+    Each frame runs through the same precompute as `prepare` (vmapped over
+    time); the ray RHS then interpolates the field stack linearly in time
+    (exact, since every derived field is linear in u, v). bg_t0/bg_dt give
+    the model time (seconds) of frame 0 and the frame spacing. No reference
+    counterpart (the reference background is static); BASELINE.json config 4.
+    """
+    u = jnp.asarray(u, read_dtype).astype(cal_dtype)
+    v = jnp.asarray(v, read_dtype).astype(cal_dtype)
+    tdim, nlon, nlat = u.shape
+    dx = 2.0 * pi / nlon
+    dy = pi / (nlat - 1)
+    if lat is None:
+        lat = -pi * 0.5 + np.arange(nlat) * dy
+    if lon is None:
+        lon = np.arange(nlon) * dx
+    lat = jnp.asarray(lat, cal_dtype)
+    lon = jnp.asarray(lon, cal_dtype)
+
+    fields, betam, ks, q = jax.vmap(
+        lambda uu, vv: _prepare_jit(
+            uu, vv, lat, jnp.asarray(dx, cal_dtype), jnp.asarray(dy, cal_dtype),
+            xcyclic,
+        )
+    )(u, v)
+    return BasicState(
+        fields=fields, lon=lon, lat=lat, betam=betam, ks=ks, q=q,
+        xcyclic=xcyclic, bg_t0=float(bg_t0), bg_dt=float(bg_dt),
     )

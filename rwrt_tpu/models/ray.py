@@ -27,12 +27,16 @@ NUM_VARS = 5
 
 
 class Background(NamedTuple):
-    """Static per-run inputs to the RHS (a closure-free pytree).
+    """Per-run inputs to the RHS (a closure-free pytree).
 
-    fields: (nlon_wrap, nlat, 18) stacked background (BasicState.fields).
+    fields: (nlon_wrap, nlat, 18) stacked background (BasicState.fields), or
+        (T, nlon_wrap, nlat, 18) for a time-varying background (linear time
+        interpolation of the stack; BASELINE.json config 4).
     lon0, lat0: grid origin in radians.
     dx, dy: grid spacing in radians.
     freq: wave frequency (rad/s).
+    bg_t0, bg_dt: time of frame 0 and frame spacing in seconds (used only
+        when fields is 4-D).
     """
 
     fields: jnp.ndarray
@@ -41,6 +45,25 @@ class Background(NamedTuple):
     dx: jnp.ndarray
     dy: jnp.ndarray
     freq: jnp.ndarray
+    bg_t0: jnp.ndarray = jnp.float32(0.0)
+    bg_dt: jnp.ndarray = jnp.float32(1.0)
+
+    @property
+    def time_varying(self) -> bool:
+        return self.fields.ndim == 4
+
+
+def sample_bg(bg: "Background", lon, lat, t):
+    """Sample the (possibly time-varying) Mercator background at positions."""
+    if bg.fields.ndim == 4:
+        tfrac = (t - bg.bg_t0) / bg.bg_dt
+        tfrac = jnp.broadcast_to(jnp.asarray(tfrac, lon.dtype), lon.shape)
+        return interp.sample_mercator_time(
+            bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat, tfrac
+        )
+    return interp.sample_mercator(
+        bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat
+    )
 
 
 def fail_mask(y: jnp.ndarray) -> jnp.ndarray:
@@ -53,7 +76,7 @@ def fail_mask(y: jnp.ndarray) -> jnp.ndarray:
     return (jnp.abs(y[S_LAT]) >= 0.5 * pi) | (jnp.abs(y[S_KY]) >= mwn_cap)
 
 
-def rhs(bg: Background, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rhs(bg: Background, y: jnp.ndarray, t=0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """dy/dt for the ray batch.
 
     Mirrors reference diffun_numpy (wr.py:492-556) + core_diffun
@@ -80,7 +103,7 @@ def rhs(bg: Background, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     err = fail_mask(y)
     ky_safe = jnp.where(err, jnp.nan, ky)
 
-    f = interp.sample_mercator(bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat)
+    f = sample_bg(bg, lon, lat, t)
     fmu, fmv = f[interp.M_U], f[interp.M_V]
     fmux, fmuy = f[interp.M_UX], f[interp.M_UY]
     fmvx, fmvy = f[interp.M_VX], f[interp.M_VY]
@@ -117,13 +140,14 @@ def rhs(bg: Background, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return dy, err
 
 
-def group_velocity_at(bg: Background, lon, lat, kx, ky, *, zero_invalid=False):
+def group_velocity_at(bg: Background, lon, lat, kx, ky, t=0.0, *,
+                      zero_invalid=False):
     """Diagnostic (ug, vg) at given positions/wavenumbers.
 
     Used to (re)derive the output slots after each accepted step (reference
     wr.py:737-746) and at initialization (wr.py:393-395, zero_invalid=True).
     """
-    f = interp.sample_mercator(bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat)
+    f = sample_bg(bg, lon, lat, t)
     return group_velocity(
         f[interp.M_U], f[interp.M_V], f[interp.M_QX], f[interp.M_QY],
         kx, ky, zero_invalid=zero_invalid,

@@ -154,3 +154,56 @@ def sample_mercator(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
     """
     raw = sample_raw(bs_fields, lon0, lat0, dx, dy, lon, lat)
     return mercator_transform(raw, lat)
+
+
+def sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac) -> jnp.ndarray:
+    """Time-varying variant: bs_fields (T, W, H, C), tfrac (R,) fractional
+    frame index (clamped to the ends). Linear interpolation in time of the
+    field stack -- exact, since every precomputed field is linear in (u, v).
+
+    No reference counterpart (the reference background is static); this
+    implements BASELINE.json config 4 (time-varying backgrounds).
+    """
+    nt = bs_fields.shape[0]
+    tf = jnp.clip(tfrac, 0.0, nt - 1.0)
+    i0 = jnp.clip(jnp.floor(tf).astype(jnp.int32), 0, nt - 1)
+    i1 = jnp.clip(i0 + 1, 0, nt - 1)
+    w1 = tf - i0.astype(tf.dtype)
+
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+
+    _, w, h, _ = bs_fields.shape
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    sx = ix - x0.astype(ix.dtype)
+    sy = iy - y0.astype(iy.dtype)
+
+    flat = bs_fields.reshape(nt * w * h, -1)
+
+    def corner(ti, xi, yi):
+        return jnp.take(flat, (ti * w + xi) * h + yi, axis=0)
+
+    def frame(ti):
+        fa = corner(ti, x0, y1)
+        fb = corner(ti, x1, y1)
+        fc = corner(ti, x0, y0)
+        fd = corner(ti, x1, y0)
+        wa = ((1.0 - sx) * sy)[:, None]
+        wb = (sx * sy)[:, None]
+        wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+        wd = (sx * (1.0 - sy))[:, None]
+        return fa * wa + fb * wb + fc * wc + fd * wd
+
+    vals = frame(i0) * (1.0 - w1)[:, None] + frame(i1) * w1[:, None]
+    in_range = jnp.abs(lat) <= 0.5 * pi
+    return jnp.where(in_range[:, None], vals, jnp.nan)
+
+
+def sample_mercator_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac):
+    """Time-varying sample + Mercator transform; returns (18, R)."""
+    raw = sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac)
+    return mercator_transform(raw, lat)

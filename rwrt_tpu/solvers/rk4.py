@@ -29,12 +29,12 @@ from rwrt_tpu.models import ray as ray_mod
 from rwrt_tpu.models.ray import Background, S_LAT, S_LON
 
 
-def rk4_step(bg: Background, y: jnp.ndarray, dt) -> jnp.ndarray:
+def rk4_step(bg: Background, y: jnp.ndarray, dt, t=0.0) -> jnp.ndarray:
     """One RK4 step with per-ray freeze semantics. y: (5, R) -> (5, R)."""
-    k1, m1 = ray_mod.rhs(bg, y)
-    k2, m2 = ray_mod.rhs(bg, y + 0.5 * dt * k1)
-    k3, m3 = ray_mod.rhs(bg, y + 0.5 * dt * k2)
-    k4, m4 = ray_mod.rhs(bg, y + dt * k3)
+    k1, m1 = ray_mod.rhs(bg, y, t)
+    k2, m2 = ray_mod.rhs(bg, y + 0.5 * dt * k1, t + 0.5 * dt)
+    k3, m3 = ray_mod.rhs(bg, y + 0.5 * dt * k2, t + 0.5 * dt)
+    k4, m4 = ray_mod.rhs(bg, y + dt * k3, t + dt)
     valid = ~(m1 | m2 | m3 | m4)
     y_prop = y + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
     return jnp.where(valid[None, :], y_prop, y)
@@ -66,16 +66,19 @@ def trace(
         bg, y0[S_LON], y0[S_LAT], y0[2], y0[3], zero_invalid=True
     )
 
-    def step(y, _):
-        y_new = rk4_step(bg, y, dt)
+    def step(y, it):
+        t = it * dt
+        y_new = rk4_step(bg, y, dt, t)
         kill = ray_mod.kill_mask(y_new, y[S_LON], y[S_LAT], cut_off)
         y_new = jnp.where(kill[None, :], jnp.nan, y_new)
         ug, vg = ray_mod.group_velocity_at(
-            bg, y_new[S_LON], y_new[S_LAT], y_new[2], y_new[3]
+            bg, y_new[S_LON], y_new[S_LAT], y_new[2], y_new[3], t + dt
         )
         return y_new, (y_new, ug, vg)
 
-    _, (ys, ugs, vgs) = jax.lax.scan(step, y0, None, length=nt - 1)
+    _, (ys, ugs, vgs) = jax.lax.scan(
+        step, y0, jnp.arange(nt - 1, dtype=y0.dtype)
+    )
     ys = jnp.concatenate([y0[None], ys], axis=0)
     ugs = jnp.concatenate([ug0[None], ugs], axis=0)
     vgs = jnp.concatenate([vg0[None], vgs], axis=0)

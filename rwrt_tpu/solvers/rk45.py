@@ -60,7 +60,7 @@ def _norm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=0) / x.shape[0])
 
 
-def select_initial_step(rhs_fn, y0, f0, rtol, atol):
+def select_initial_step(rhs_fn, y0, f0, rtol, atol, t0=0.0):
     """Per-ray initial step (reference rkf45.py:34-99; direction = +1).
 
     Note the reference's smallness masks are built by zeroing where
@@ -73,7 +73,7 @@ def select_initial_step(rhs_fn, y0, f0, rtol, atol):
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, h0)
 
     y1 = y0 + h0 * f0
-    f1 = rhs_fn(y1)
+    f1 = rhs_fn(y1, t0 + h0)
     d2 = _norm((f1 - f0) / scale) / h0
 
     dm = jnp.fmax(d1, d2)  # np.nanmax semantics: ignore NaN unless both NaN.
@@ -122,7 +122,7 @@ def integrate_interval(
         return jnp.any(~c.done) & (c.iters < max_iters)
 
     def body(c: _Carry) -> _Carry:
-        f0 = rhs_fn(c.y)
+        f0 = rhs_fn(c.y, c.t)
         heff = jnp.where(c.new_step, jnp.maximum(c.h, min_step), c.h)
         t_new = c.t + heff
         t_new = jnp.where(t_new > t_bound, t_bound, t_new)
@@ -133,9 +133,9 @@ def integrate_interval(
             dy = hstep[None, :] * sum(
                 DP_A[s][j] * k[j] for j in range(s) if DP_A[s][j] != 0.0
             )
-            k.append(rhs_fn(c.y + dy))
+            k.append(rhs_fn(c.y + dy, c.t + DP_C[s] * hstep))
         y_new = c.y + hstep[None, :] * sum(DP_B[j] * k[j] for j in range(6))
-        f_new = rhs_fn(y_new)
+        f_new = rhs_fn(y_new, t_new)
         k.append(f_new)
 
         err = hstep[None, :] * sum(DP_E[j] * k[j] for j in range(7))

@@ -74,6 +74,8 @@ def make_background(bs: BasicState, freq: float) -> Background:
         dx=jnp.asarray(bs.dx, dtype),
         dy=jnp.asarray(bs.dy, dtype),
         freq=jnp.asarray(freq, dtype),
+        bg_t0=jnp.asarray(bs.bg_t0, dtype),
+        bg_dt=jnp.asarray(bs.bg_dt, dtype),
     )
 
 
@@ -97,9 +99,9 @@ def initialize(
     nsource = source_lon.shape[0]
     nzwn = zwn.shape[0]
 
-    f = interp.sample_mercator(
-        bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, source_lon, source_lat
-    )  # (18, nsource)
+    # Sampled at model time t=0 (for a time-varying background this is the
+    # first frame offset by bg_t0).
+    f = ray_mod.sample_bg(bg, source_lon, source_lat, 0.0)  # (18, nsource)
     fmu, fmv = f[interp.M_U], f[interp.M_V]
     fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
 
@@ -130,19 +132,20 @@ def initialize(
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
-def _rk4_chunk(bg, y, dt, n_steps: int, cut_off):
+def _rk4_chunk(bg, y, dt, n_steps: int, cut_off, t_start=0.0):
     """n_steps RK4 output steps from carry y; returns (y, (ys, ugs, vgs))."""
 
-    def step(y, _):
-        y_new = rk4_mod.rk4_step(bg, y, dt)
+    def step(y, it):
+        t = t_start + it * dt
+        y_new = rk4_mod.rk4_step(bg, y, dt, t)
         kill = ray_mod.kill_mask(y_new, y[S_LON], y[S_LAT], cut_off)
         y_new = jnp.where(kill[None, :], jnp.nan, y_new)
         ug, vg = ray_mod.group_velocity_at(
-            bg, y_new[S_LON], y_new[S_LAT], y_new[S_KX], y_new[S_KY]
+            bg, y_new[S_LON], y_new[S_LAT], y_new[S_KX], y_new[S_KY], t + dt
         )
         return y_new, (y_new, ug, vg)
 
-    return jax.lax.scan(step, y, None, length=n_steps)
+    return jax.lax.scan(step, y, jnp.arange(n_steps, dtype=y.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
@@ -155,8 +158,8 @@ def _rk45_chunk(bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step,
     as the RK4 path (reference wr.py:831-885).
     """
 
-    def rhs_fn(yy):
-        dy, _ = ray_mod.rhs(bg, yy)
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
         return dy
 
     def interval(carry, t_bound):
@@ -167,7 +170,7 @@ def _rk45_chunk(bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step,
         kill = ray_mod.kill_mask(y_new, y[S_LON], y[S_LAT], cut_off)
         y_new = jnp.where(kill[None, :], jnp.nan, y_new)
         ug, vg = ray_mod.group_velocity_at(
-            bg, y_new[S_LON], y_new[S_LAT], y_new[S_KX], y_new[S_KY]
+            bg, y_new[S_LON], y_new[S_LAT], y_new[S_KX], y_new[S_KY], t_bound
         )
         return (y_new, t, h), (y_new, ug, vg, iters, nfev)
 
@@ -177,8 +180,8 @@ def _rk45_chunk(bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step,
 def initial_step_sizes(bg, y0, rtol, atol):
     """Per-ray initial h for the adaptive solver (reference rkf45.py:34-99)."""
 
-    def rhs_fn(yy):
-        dy, _ = ray_mod.rhs(bg, yy)
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
         return dy
 
     return rk45_mod.select_initial_step(rhs_fn, y0, rhs_fn(y0), rtol, atol)

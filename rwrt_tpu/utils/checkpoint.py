@@ -133,7 +133,8 @@ def trace_rays_chunked(
         n = min(chunk_steps, nt - step)
         t_bounds = (jnp.arange(step, step + n, dtype=dtype)) * dt
         if config.integrator == "rk4":
-            y, (ys, ugs, vgs) = _rk4_chunk(bg, y, dt, n, cut_off)
+            t_start = jnp.asarray((step - 1) * config.tstep, dtype)
+            y, (ys, ugs, vgs) = _rk4_chunk(bg, y, dt, n, cut_off, t_start)
             ray_steps = n * n_rays
         else:
             (y, t, h), (ys, ugs, vgs, iters, _) = _rk45_chunk(

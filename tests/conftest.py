@@ -7,17 +7,17 @@ the float64 reference).
 
 import os
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
-# but tests need float64 bit-parity and a virtual 8-device mesh.
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel
+# AND its sitecustomize imports jax at interpreter start, overriding the env
+# var via jax.config — so the config must be re-overridden after import.
+# Tests need float64 bit-parity with the reference and a virtual 8-device
+# mesh, both CPU-only features here.
 os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

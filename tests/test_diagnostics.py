@@ -1,0 +1,152 @@
+"""Tests for grid diagnostics, spectral filter, and wave-ray flux."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import rwrt_tpu as rt
+from rwrt_tpu.config import RunConfig
+from rwrt_tpu.diagnostics import flux as flux_mod
+from rwrt_tpu.diagnostics import spectral
+from rwrt_tpu.diagnostics.wavenumber import (
+    compute_wavenumber_maps,
+    fill_nan_neighborhood_mean,
+    turning_critical_masks,
+)
+from rwrt_tpu.ops.cubic import solve_dispersion_cubic
+from rwrt_tpu.ops.groupvel import group_velocity
+
+from refshim import make_reference_bs
+
+
+@pytest.fixture(scope="module")
+def bs(jet_field):
+    u, v, lat, lon = jet_field
+    return rt.prepare(u, v, lat, lon, cal_dtype="float64")
+
+
+def test_wavenumber_maps_consistent_with_pointwise(bs, jet_field):
+    """The gridded maps must equal a pointwise solve at sampled grid points
+    (the reference's intended per-point algorithm, wn.py:74-87)."""
+    u, v, lat, lon = jet_field
+    ref = make_reference_bs(u, v, lat, lon)
+    zwn = np.array([1.0, 3.0, 5.0])
+    maps = compute_wavenumber_maps(bs, zwn)
+    assert maps.mwn.shape == (bs.nlon, bs.nlat, 3, 3)
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        ix = int(rng.integers(0, bs.nlon))
+        iy = int(rng.integers(3, bs.nlat - 3))
+        f = ref.cal_bs_mercator_point(
+            np.asarray([lon[ix]]), np.asarray([lat[iy]]), mode="numpy"
+        )
+        for iz, kz in enumerate(zwn):
+            roots, n = solve_dispersion_cubic(
+                jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[6]),
+                jnp.asarray(f[7]), 0.0, kz,
+            )
+            np.testing.assert_allclose(
+                np.asarray(maps.mwn)[ix, iy, iz], np.asarray(roots)[0],
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            )
+            ug, vg = group_velocity(
+                jnp.asarray(f[0]), jnp.asarray(f[1]), jnp.asarray(f[6]),
+                jnp.asarray(f[7]), kz, np.asarray(roots)[0],
+            )
+            ug = np.where(np.isnan(np.asarray(roots)[0]), 0.0, np.asarray(ug))
+            np.testing.assert_allclose(
+                np.asarray(maps.ug)[ix, iy, iz], ug, rtol=1e-9, atol=1e-9
+            )
+
+
+def test_turning_critical_masks(bs):
+    masks = turning_critical_masks(bs, np.array([1.0, 20.0]))
+    m = np.asarray(masks)
+    # low wavenumber propagates in more area than a very high one
+    assert m[..., 0].sum() > m[..., 1].sum()
+    # no propagation where Ks undefined (e.g. easterlies)
+    ks = np.asarray(bs.ks)
+    assert not m[np.isnan(ks), :].any()
+
+
+def test_fill_nan_neighborhood_mean():
+    a = jnp.asarray(np.arange(25, dtype=float).reshape(5, 5))
+    a = a.at[2, 2].set(np.nan)
+    filled = np.asarray(fill_nan_neighborhood_mean(a))
+    assert np.isfinite(filled[2, 2])
+    # mean of the 8 neighbors of the center of arange(25) grid is 12
+    np.testing.assert_allclose(filled[2, 2], 12.0)
+    # non-NaN entries untouched
+    np.testing.assert_array_equal(np.delete(filled.ravel(), 12),
+                                  np.delete(np.arange(25.0), 12))
+
+
+def test_spectral_filter_preserves_low_degrees():
+    """A field made of low-degree harmonics passes through unchanged; high
+    zonal wavenumbers are removed (SHSF semantics, reference SHSF.py:10-33)."""
+    nlon, nlat = 64, 33
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon = np.arange(nlon) * 2 * np.pi / nlon
+    # Y_1^1-like: cos(lat)*cos(lon) has degree 1; plus a degree-15 zonal ripple
+    low = np.cos(lat)[None, :] * np.cos(lon)[:, None]
+    high = np.cos(15 * lon)[:, None] * np.cos(lat)[None, :]
+    field = low + high
+
+    filt = np.asarray(spectral.spectral_filter(field, lat, lmax=8))
+    # low-degree content survives
+    np.testing.assert_allclose(filt, low, atol=2e-2)
+    # total truncation removes the m=15 ripple entirely
+    resid = filt - low
+    assert np.abs(resid).max() < 2e-2
+
+
+def test_spectral_filter_roundtrip_bandlimited():
+    """lmax above the field's content => near-identity."""
+    nlon, nlat = 64, 33
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon = np.arange(nlon) * 2 * np.pi / nlon
+    field = (np.cos(lat)[None, :] ** 2 * np.sin(2 * lon)[:, None]
+             + 3.0 * np.sin(lat)[None, :])
+    filt = np.asarray(spectral.spectral_filter(field, lat, lmax=12))
+    np.testing.assert_allclose(filt, field, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def small_traj(bs):
+    cfg = RunConfig(
+        zwn=(2.0, 4.0), sw_lon=0.0, sw_lat=15.0, dlon=60.0, dlat=10.0,
+        nnx=3, nny=2, tstep=2 * 3600.0, ttotal=5 * 86400.0,
+        integrator="rk4", cal_dtype="float64",
+    )
+    return rt.trace_rays(bs, cfg)
+
+
+def test_flux_accumulation(small_traj):
+    wrf = flux_mod.wave_ray_flux(small_traj, nlon_bins=108, nlat_bins=36)
+    cnt = np.asarray(wrf.count)
+    # every finite trajectory point lands in exactly one cell
+    n_pts = int(np.isfinite(np.asarray(small_traj.lon)
+                            * np.asarray(small_traj.amp)
+                            * np.asarray(small_traj.ug)).sum())
+    assert int(cnt.sum()) == n_pts
+    # flux maps finite
+    assert np.isfinite(np.asarray(wrf.flux_u)).all()
+    assert np.isfinite(np.asarray(wrf.flux_v)).all()
+
+
+def test_flux_region_and_threshold(small_traj):
+    full = flux_mod.wave_ray_flux(small_traj)
+    boxed = flux_mod.wave_ray_flux(
+        small_traj, lon_range=(0.0, 90.0), lat_range=(0.0, 60.0)
+    )
+    assert boxed.count.sum() <= full.count.sum()
+    # amplitude threshold high enough kills everything
+    none = flux_mod.wave_ray_flux(small_traj, amp_min=1e9)
+    assert int(np.asarray(none.count).sum()) == 0
+
+
+def test_unwrap_longitude():
+    lon = jnp.asarray(np.radians([[350.0], [10.0], [30.0]]))
+    un = np.degrees(np.asarray(flux_mod._unwrap_lon(lon)))
+    np.testing.assert_allclose(un[:, 0], [350.0, 370.0, 390.0], atol=1e-6)
