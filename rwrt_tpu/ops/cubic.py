@@ -109,12 +109,35 @@ def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jn
     c1 = kz * kz * fv + fqx
     c0 = kz**3 * (fu - ps) - fqy * kz
 
-    # Degree by exact-zero leading coefficients (reference bs.py:1017-1021).
-    # NaN coefficients compare != 0 -> routed to the cubic branch where they
-    # propagate to NaN roots and count 0.
-    deg3 = c3 != 0.0
-    deg2 = ~deg3 & (c2 != 0.0)
-    deg1 = ~deg3 & ~deg2 & (c1 != 0.0)
+    # Effective degree over the |m| < 100 root window. The reference reduces
+    # degree only on EXACT zeros (bs.py:1017-1021) and delegates tiny leading
+    # coefficients to its eigenvalue solver, which handles them gracefully
+    # (one giant root, later discarded by the |m| >= 100 filter). Closed-form
+    # Cardano, by contrast, is catastrophically unstable when |c3| is tiny
+    # (the depressed-cubic shift b/3 = c2/(3*c3) explodes) -- e.g. a
+    # near-zonal background with fv ~ 1e-16 yields garbage. Compare each
+    # coefficient's largest possible contribution over the window
+    # s_d = |c_d| * 100^d: if all roots lie in the window then Vieta gives
+    # s3 >= smax/3, so demoting when s3 < tau * smax can never drop an
+    # in-window root; the demoted giant root is provably outside the window
+    # exactly where the reference's filter would discard it.
+    eps = jnp.finfo(dtype).eps
+    tau = 1e4 * eps  # ~1e-12 in f64, ~1e-3 in f32
+    s3 = jnp.abs(c3) * mwn_cap**3
+    s2 = jnp.abs(c2) * mwn_cap**2
+    s1 = jnp.abs(c1) * mwn_cap
+    s0 = jnp.abs(c0)
+    smax = jnp.maximum(jnp.maximum(s3, s2), jnp.maximum(s1, s0))
+    thresh = tau * smax
+    deg3 = s3 >= thresh
+    deg2 = ~deg3 & (s2 >= thresh)
+    deg1 = ~deg3 & ~deg2 & (s1 >= thresh)
+    # NaN coefficients: comparisons are False -> no roots, count 0. All-zero
+    # coefficients: smax == 0 -> thresh 0 -> s >= 0 True... guard:
+    nontrivial = smax > 0.0
+    deg3 &= nontrivial
+    deg2 &= nontrivial
+    deg1 &= nontrivial
 
     nan = jnp.asarray(jnp.nan, dtype)
 
@@ -127,9 +150,36 @@ def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jn
     q = 2.0 * b**3 / 27.0 - b * c / 3.0 + d
     t_roots, pair_real = _solve_cubic_depressed(p, q)
     shift = b / 3.0
-    cub0 = t_roots[0] - shift
-    cub1 = jnp.where(pair_real, t_roots[1] - shift, nan)
-    cub2 = jnp.where(pair_real, t_roots[2] - shift, nan)
+
+    def polish(m):
+        # Two guarded Newton iterations on the monic cubic recover the
+        # precision lost in the depressed-cubic shift when |b| is large.
+        # Steps are applied only when small (near-double roots have dp ~ 0
+        # and must not be thrown out of the window by a wild step).
+        for _ in range(2):
+            pm = ((m + b) * m + c) * m + d
+            dpm = (3.0 * m + 2.0 * b) * m + c
+            step = pm / jnp.where(dpm == 0.0, 1.0, dpm)
+            m = m - jnp.where(jnp.abs(step) < 0.5, step, 0.0)
+        return m
+
+    cub0 = polish(t_roots[0] - shift)
+    # The conjugate-pair slots are polished only when they are genuine real
+    # roots (trig branch); a treated-as-real tiny-Im pair must keep its
+    # common real part.
+    genuine_pair = pair_real & jnp.logical_not(
+        (0.5 * q) ** 2 + (p / 3.0) ** 3 > 0.0
+    )
+    cub1 = jnp.where(
+        pair_real,
+        jnp.where(genuine_pair, polish(t_roots[1] - shift), t_roots[1] - shift),
+        nan,
+    )
+    cub2 = jnp.where(
+        pair_real,
+        jnp.where(genuine_pair, polish(t_roots[2] - shift), t_roots[2] - shift),
+        nan,
+    )
 
     # --- quadratic: c2 m^2 + c1 m + c0; pair real when |Im| < delt. ---
     a2 = jnp.where(deg2, c2, 1.0)

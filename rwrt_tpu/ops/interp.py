@@ -34,6 +34,12 @@ from rwrt_tpu.constants import pi, polar_cos_cap
 (M_U, M_V, M_UX, M_UY, M_VX, M_VY, M_QX, M_QY, M_QXX, M_QXY, M_QYX, M_QYY,
  M_QXXX, M_QXXY, M_QXYY, M_QYYY, M_QYXX, M_QYYX) = range(18)
 
+#: The ray RHS consumes only the first 12 Mercator fields (positions 0..11 of
+#: both the raw stack and the transformed output); the third derivatives are
+#: diagnostic-only (the reference interpolates all 18 every RHS evaluation,
+#: wr.py:521-539, and then discards the last 6 -- we gather only the hot 12).
+NUM_HOT = 12
+
 
 def bilinear_gather(fields: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """4-corner bilinear gather at fractional grid indices.
@@ -117,14 +123,15 @@ def mercator_transform(raw: jnp.ndarray, lat: jnp.ndarray) -> jnp.ndarray:
     cosm = jnp.where(live, cos_phi, 1e-6)
     tan_phi = sin_phi / cosm
 
-    f = raw.T  # (18, R)
+    f = raw.T  # (C, R), C = 12 (hot) or 18 (full)
+    full = raw.shape[-1] > NUM_HOT
     zero = jnp.zeros_like(cos_phi)
 
     def m(expr):
         return jnp.where(live, expr, zero)
 
     fmqyx = m(f[F_QXY] * cosm)
-    out = [None] * 18
+    out = [None] * (18 if full else NUM_HOT)
     out[M_U] = m(f[F_U] / cosm)
     out[M_V] = m(f[F_V] / cosm)
     out[M_UX] = m(f[F_UX] / cosm)
@@ -137,12 +144,13 @@ def mercator_transform(raw: jnp.ndarray, lat: jnp.ndarray) -> jnp.ndarray:
     out[M_QXY] = fmqyx
     out[M_QYX] = fmqyx
     out[M_QYY] = m((f[F_QYY] * cosm - f[F_QY] * sin_phi) * cosm)
-    out[M_QXXX] = m(f[F_QXXX])
-    out[M_QXXY] = m(f[F_QXXY] * cosm)
-    out[M_QXYY] = m((f[F_QXYY] * cosm - f[F_QXY] * sin_phi) * cosm)
-    out[M_QYYY] = m(f[F_QYYY])
-    out[M_QYXX] = m(f[F_QYXX] * cosm)
-    out[M_QYYX] = m((f[F_QYYX] * cosm - f[F_QXY] * sin_phi) * cosm)
+    if full:
+        out[M_QXXX] = m(f[F_QXXX])
+        out[M_QXXY] = m(f[F_QXXY] * cosm)
+        out[M_QXYY] = m((f[F_QXYY] * cosm - f[F_QXY] * sin_phi) * cosm)
+        out[M_QYYY] = m(f[F_QYYY])
+        out[M_QYXX] = m(f[F_QYXX] * cosm)
+        out[M_QYYX] = m((f[F_QYYX] * cosm - f[F_QXY] * sin_phi) * cosm)
     return jnp.stack(out, axis=0)
 
 

@@ -60,6 +60,15 @@ def _norm(x):
     return jnp.sqrt(jnp.sum(x * x, axis=0) / x.shape[0])
 
 
+def validate_tol(rtol, dtype):
+    """Clamp rtol to 100 * eps of the compute dtype (reference
+    rkf45.py:21-26) -- essential for float32 runs where rtol=1e-6 is below
+    resolvable precision."""
+    import numpy as _np
+
+    return jnp.maximum(jnp.asarray(rtol, dtype), 100 * _np.finfo(dtype).eps)
+
+
 def select_initial_step(rhs_fn, y0, f0, rtol, atol, t0=0.0):
     """Per-ray initial step (reference rkf45.py:34-99; direction = +1).
 

@@ -68,7 +68,9 @@ def source_matrix(
 def make_background(bs: BasicState, freq: float) -> Background:
     dtype = bs.fields.dtype
     return Background(
-        fields=bs.fields,
+        # Hot 12-field slice: the RHS never reads the third derivatives
+        # (see ops/interp.py NUM_HOT) -- 33% less gather bandwidth per step.
+        fields=bs.fields[..., : interp.NUM_HOT],
         lon0=bs.lon[0].astype(dtype),
         lat0=bs.lat[0].astype(dtype),
         dx=jnp.asarray(bs.dx, dtype),
@@ -267,9 +269,10 @@ def trace_rays(
         min_step = min(
             config.min_step_factor * config.tstep, config.tstep * 1e-3
         )  # reference rkf45.py:362
+        rtol = rk45_mod.validate_tol(config.rtol, dtype)  # rkf45.py:21-26
         ys, ugs, vgs, _, _ = _run_rk45(
             bg, y0, ug0, vg0, dt, nt, cut_off,
-            jnp.asarray(config.rtol, dtype), jnp.asarray(config.atol, dtype),
+            rtol, jnp.asarray(config.atol, dtype),
             jnp.asarray(min_step, dtype),
         )
 

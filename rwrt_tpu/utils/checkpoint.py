@@ -88,7 +88,9 @@ def trace_rays_chunked(
     n_rays = y0.shape[1]
     dt = jnp.asarray(config.tstep, dtype)
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
-    rtol = jnp.asarray(config.rtol, dtype)
+    from rwrt_tpu.solvers import rk45 as _rk45_mod
+
+    rtol = _rk45_mod.validate_tol(config.rtol, dtype)
     atol = jnp.asarray(config.atol, dtype)
     min_step = jnp.asarray(
         min(config.min_step_factor * config.tstep, config.tstep * 1e-3), dtype

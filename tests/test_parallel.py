@@ -45,7 +45,11 @@ def test_sharded_equals_single_device(bs, integrator):
     single = rt.trace_rays(bs, cfg)
     mesh = sh.make_mesh(8)
     sharded = rt.trace_rays(bs, cfg, mesh=mesh)
-    _assert_traj_equal(single, sharded)
+    # GSPMD partitioning changes fusion order, so the adaptive controller's
+    # accept/reject arithmetic differs at the ulp level and accumulates a
+    # little along trajectories; 1e-6 rad is still ~5 orders below the
+    # physical acceptance gate.
+    _assert_traj_equal(single, sharded, atol=1e-11 if integrator == "rk4" else 1e-6)
 
 
 def test_ray_padding():

@@ -62,17 +62,23 @@ def test_great_circle_paths(superrotation_bs):
 
 
 def test_stationary_wavenumber_on_superrotation(superrotation_bs):
-    """For u = U0 cos(lat), beta_M cos/u is lat-independent => Ks constant:
-    Ks = R*sqrt(2*(Omega + U0/R)/U0) in the reference's scaling."""
+    """For u = U0 cos(lat): beta_M = 2 cos^2(lat) (Omega + U0/R)/R, so
+    Ks = R cos(lat) sqrt(2 (Omega + U0/R) / (R U0)) -- the classic
+    super-rotation stationary wavenumber (Hoskins & Karoly 1981)."""
     from rwrt_tpu.constants import omega, rearth
 
     ks = np.asarray(superrotation_bs.ks)
+    lat = np.asarray(superrotation_bs.lat)
     u0 = 30.0
-    expected = rearth * np.sqrt(2.0 * (omega + u0 / rearth) / u0)
+    expected = (
+        rearth * np.cos(lat) * np.sqrt(2.0 * (omega + u0 / rearth) / (rearth * u0))
+    )[None, :]
     interior = ks[:, 5:-5]
     ok = np.isfinite(interior)
     assert ok.all()
-    np.testing.assert_allclose(interior[ok], expected, rtol=1e-2)
+    np.testing.assert_allclose(
+        interior, np.broadcast_to(expected, ks.shape)[:, 5:-5], rtol=1e-2
+    )
 
 
 def test_rays_conserve_zonal_wavenumber_in_zonal_flow(superrotation_bs):
