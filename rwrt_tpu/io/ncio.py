@@ -194,6 +194,42 @@ def write_trajectories(traj: RayTrajectories, path: str,
                 var.units = units[name]
 
 
+def load_basic_state(path: str, *, xcyclic: bool = True,
+                     cal_dtype="float32"):
+    """Rebuild a BasicState from a basic-state file written by
+    write_basic_state -- the stage-level restart of the reference
+    (BS.read_from_precaled_nc, bs.py:409-454): skip the derivative precompute
+    and inject previously computed fields directly.
+    """
+    import jax.numpy as jnp
+
+    from rwrt_tpu.models.basic_state import BasicState
+
+    if _is_npz(path):
+        with np.load(path) as ds:
+            data = {k: np.asarray(ds[k]) for k in ds.files}
+    else:
+        if not HAVE_NETCDF:
+            raise RuntimeError("netCDF4 not installed; use the .npz format")
+        with _nc.Dataset(path) as ds:  # pragma: no cover
+            data = {k: np.asarray(v[:]) for k, v in ds.variables.items()}
+
+    lat = np.asarray(data["lat"], np.float64) * deg2rad
+    lon = np.asarray(data["lon"], np.float64) * deg2rad
+    stack = np.stack([data[name] for name in FIELD_NAMES], axis=-1)
+    if xcyclic:
+        stack = np.concatenate([stack, stack[0:1]], axis=0)
+    return BasicState(
+        fields=jnp.asarray(stack, cal_dtype),
+        lon=jnp.asarray(lon, cal_dtype),
+        lat=jnp.asarray(lat, cal_dtype),
+        betam=jnp.asarray(data["betam"], cal_dtype),
+        ks=jnp.asarray(data["KS"], cal_dtype),
+        q=jnp.asarray(data["q"], cal_dtype),
+        xcyclic=xcyclic,
+    )
+
+
 def load_trajectories(path: str) -> Dict[str, np.ndarray]:
     """Read a trajectory file written by write_trajectories (either format)."""
     if _is_npz(path):

@@ -226,3 +226,52 @@ def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jn
     roots = jnp.take_along_axis(roots, order, axis=-1)
     count = jnp.sum(valid, axis=-1)
     return roots, count
+
+
+def fortran_slot_order(mwn: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized Fortran-heritage slot shuffle (reference change_roots_order,
+    bs.py:942-982) applied to a (..., 3) root array with per-point root count.
+
+    The reference applies this to whatever order its eigenvalue backend
+    emitted, so absolute slot parity with the reference is backend-dependent;
+    this function reproduces the TRANSFORM itself (the conditional swap
+    sequences for 3/2/1 roots followed by the final slot reversal) for users
+    who want reference-style slots on top of our canonical order.
+    """
+    m0, m1, m2 = mwn[..., 0], mwn[..., 1], mwn[..., 2]
+
+    def swap(a, b, cond):
+        return jnp.where(cond, b, a), jnp.where(cond, a, b)
+
+    # --- deg == 3 (bs.py:948-960) ---
+    is3 = count == 3
+    c = is3 & (m2 >= 0.0) & (m2 < m1)
+    m1, m2 = swap(m1, m2, c)
+    c = is3 & (m0 < 0.0)
+    m0, m1 = swap(m0, m1, c)
+    c = is3 & (((m1 < 0.0) & (m2 < 0.0) & (m1 < m2)) | ((m1 > 0.0) & (m2 < 0.0)))
+    m1, m2 = swap(m1, m2, c)
+
+    # --- deg == 2 (bs.py:962-969): only iteration i=0 executes (both
+    # branches break); swap slots 0,1 unless m0 is a finite positive root.
+    is2 = count == 2
+    c = is2 & jnp.logical_not(jnp.isfinite(m0) & (m0 > 0.0))
+    m0, m1 = swap(m0, m1, c)
+
+    # --- deg == 1 (bs.py:971-976): the literal i = 0,1,2 sweep. ---
+    is1 = count == 1
+    for i in range(3):
+        mi = (m0, m1, m2)[i]
+        c_pos = is1 & jnp.isfinite(mi) & (mi >= 0.0) & (i != 0)
+        c_neg = is1 & jnp.isfinite(mi) & (mi <= 0.0) & (i != 2) & ~c_pos
+        if i == 0:
+            m0, m1 = swap(m0, m1, c_neg)
+        elif i == 1:
+            m1, m0 = swap(m1, m0, c_pos)
+            # c_neg with i=1 swaps slot 1 with itself: no-op.
+        else:
+            m2, m0 = swap(m2, m0, c_pos)
+
+    # Final reversal (bs.py:982). The |m| >= 100 -> NaN filter was already
+    # applied upstream by solve_dispersion_cubic.
+    return jnp.stack([m2, m1, m0], axis=-1)

@@ -135,3 +135,29 @@ def test_group_velocity_matches_reference(pair):
                                atol=1e-9, equal_nan=True)
     np.testing.assert_allclose(np.asarray(got_v), want_v[..., 0], rtol=1e-9,
                                atol=1e-9, equal_nan=True)
+
+
+def test_fortran_slot_order_matches_reference():
+    """fortran_slot_order must reproduce change_roots_order (bs.py:942-982)
+    for arbitrary root layouts and counts."""
+    import jax.numpy as jnp
+    from rwrt_tpu.ops.cubic import fortran_slot_order
+
+    bs_mod, _, _ = load_reference()
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(300):
+        deg = int(rng.integers(0, 4))
+        vals = rng.uniform(-50, 50, 3)
+        m = np.full(3, np.nan)
+        m[:deg] = vals[:deg]
+        cases.append((m, deg))
+
+    ours_in = jnp.asarray(np.stack([c[0] for c in cases]))
+    counts = jnp.asarray(np.array([c[1] for c in cases]))
+    got = np.asarray(fortran_slot_order(ours_in, counts))
+
+    for i, (m, deg) in enumerate(cases):
+        want, _ = bs_mod.change_roots_order(m.copy(), deg)
+        np.testing.assert_allclose(got[i], want, equal_nan=True,
+                                   err_msg=f"case {i} deg {deg} m {m}")
