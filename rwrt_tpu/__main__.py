@@ -1,0 +1,50 @@
+"""Command-line entry point: python -m rwrt_tpu --config run.json
+
+The JSON config maps 1:1 onto RunConfig fields plus the three file paths
+(reference main_wr.py parameter dict: inputuv / bsfile / ncfile).
+"""
+
+import argparse
+import json
+import sys
+
+from rwrt_tpu.config import RunConfig
+from rwrt_tpu.main import RunPaths, run
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="rwrt_tpu", description="TPU-native Rossby wave ray tracing"
+    )
+    ap.add_argument("--config", required=True, help="JSON config file")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard rays over all local devices")
+    ap.add_argument("--chunked", action="store_true",
+                    help="chunked driver with progress reporting")
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file for resumable runs")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        raw = json.load(f)
+
+    paths = RunPaths(
+        inputuv=raw.pop("inputuv"),
+        bsfile=raw.pop("bsfile", None),
+        ncfile=raw.pop("ncfile", None),
+    )
+    cfg = RunConfig(**raw)
+
+    mesh = None
+    if args.mesh:
+        from rwrt_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh()
+
+    run(cfg, paths, mesh=mesh, chunked=args.chunked,
+        checkpoint_path=args.checkpoint)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
