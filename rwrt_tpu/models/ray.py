@@ -54,12 +54,27 @@ class Background(NamedTuple):
 
 
 def sample_bg(bg: "Background", lon, lat, t):
-    """Sample the (possibly time-varying) Mercator background at positions."""
+    """Sample the (possibly time-varying) Mercator background at positions.
+
+    Backgrounds built by tracer.make_background carry a corner-PACKED hot
+    stack (last dim 4 * NUM_HOT; see interp.pack_corners) for single-gather
+    sampling; unpacked stacks are also accepted for direct/diagnostic use.
+    """
+    packed = bg.fields.shape[-1] == 4 * interp.NUM_HOT
     if bg.fields.ndim == 4:
         tfrac = (t - bg.bg_t0) / bg.bg_dt
         tfrac = jnp.broadcast_to(jnp.asarray(tfrac, lon.dtype), lon.shape)
+        if packed:
+            raw = interp.sample_raw_packed_time(
+                bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat, tfrac
+            )
+            return interp.mercator_transform(raw, lat)
         return interp.sample_mercator_time(
             bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat, tfrac
+        )
+    if packed:
+        return interp.sample_mercator_packed(
+            bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat
         )
     return interp.sample_mercator(
         bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat

@@ -21,6 +21,7 @@ outputs, with indices clipped into range so the gather itself is safe.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from rwrt_tpu.constants import pi, polar_cos_cap
@@ -164,6 +165,73 @@ def sample_mercator(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
     return mercator_transform(raw, lat)
 
 
+def pack_corners(fields: jnp.ndarray) -> jnp.ndarray:
+    """Pack each cell's 2x2 corner neighborhood into one row.
+
+    TPU performance: XLA lowers row gathers to per-row scalar-core work, so
+    cost scales with row COUNT; packing the four bilinear corners into one
+    (W, H, 4C) row turns 4 gathers per ray per evaluation into 1. The +1
+    neighbors are clamped at the array edges exactly as the 4-gather path
+    clamps its indices (reference interpolation.py:116-119), so results are
+    bit-identical.
+
+    Layout per row: [F(w,h), F(w+1,h), F(w,h+1), F(w+1,h+1)].
+    Accepts (W, H, C) or time-varying (T, W, H, C).
+    """
+
+    def shift(f, axis):
+        n = f.shape[axis]
+        lead = jax.lax.slice_in_dim(f, 1, n, axis=axis)
+        last = jax.lax.slice_in_dim(f, n - 1, n, axis=axis)
+        return jnp.concatenate([lead, last], axis=axis)
+
+    right = shift(fields, -3)
+    up = shift(fields, -2)
+    right_up = shift(right, -2)
+    return jnp.concatenate([fields, right, up, right_up], axis=-1)
+
+
+def sample_raw_packed(packed, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
+    """Bilinear sample from a corner-packed stack: ONE row gather per point.
+
+    Bit-identical to sample_raw on the unpacked stack (same clamped corner
+    values, same weight expression and summation order).
+    """
+    w, h, c4 = packed.shape
+    c = c4 // 4
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
+    sx = ix - x0.astype(ix.dtype)
+    sy = iy - y0.astype(iy.dtype)
+
+    # .at[].get with promise_in_bounds skips the bounds-handling gather
+    # path (indices are clamped above).
+    rows = packed.reshape(w * h, c4).at[x0 * h + y0].get(
+        mode="promise_in_bounds"
+    )
+    fc = rows[:, 0:c]          # (x0, y0)
+    fd = rows[:, c : 2 * c]    # (x1, y0)
+    fa = rows[:, 2 * c : 3 * c]  # (x0, y1)
+    fb = rows[:, 3 * c : 4 * c]  # (x1, y1)
+
+    wa = ((1.0 - sx) * sy)[:, None]
+    wb = (sx * sy)[:, None]
+    wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+    wd = (sx * (1.0 - sy))[:, None]
+    vals = fa * wa + fb * wb + fc * wc + fd * wd
+    in_range = jnp.abs(lat) <= 0.5 * pi
+    return jnp.where(in_range[:, None], vals, jnp.nan)
+
+
+def sample_mercator_packed(packed, lon0, lat0, dx, dy, lon, lat):
+    """Corner-packed sample + Mercator transform; returns (C, R)."""
+    raw = sample_raw_packed(packed, lon0, lat0, dx, dy, lon, lat)
+    return mercator_transform(raw, lat)
+
+
 def sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac) -> jnp.ndarray:
     """Time-varying variant: bs_fields (T, W, H, C), tfrac (R,) fractional
     frame index (clamped to the ends). Linear interpolation in time of the
@@ -215,3 +283,41 @@ def sample_mercator_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac):
     """Time-varying sample + Mercator transform; returns (18, R)."""
     raw = sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac)
     return mercator_transform(raw, lat)
+
+
+def sample_raw_packed_time(packed, lon0, lat0, dx, dy, lon, lat, tfrac):
+    """Time-varying corner-packed sample: 2 row gathers (one per bracketing
+    frame) + linear time interpolation. packed: (T, W, H, 4C)."""
+    nt, w, h, c4 = packed.shape
+    c = c4 // 4
+    tf = jnp.clip(tfrac, 0.0, nt - 1.0)
+    i0 = jnp.clip(jnp.floor(tf).astype(jnp.int32), 0, nt - 1)
+    i1 = jnp.clip(i0 + 1, 0, nt - 1)
+    w1 = tf - i0.astype(tf.dtype)
+
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
+    sx = ix - x0.astype(ix.dtype)
+    sy = iy - y0.astype(iy.dtype)
+
+    flat = packed.reshape(nt * w * h, c4)
+    cell = x0 * h + y0
+
+    def frame(ti):
+        rows = flat.at[ti * (w * h) + cell].get(mode="promise_in_bounds")
+        fc = rows[:, 0:c]
+        fd = rows[:, c : 2 * c]
+        fa = rows[:, 2 * c : 3 * c]
+        fb = rows[:, 3 * c : 4 * c]
+        wa = ((1.0 - sx) * sy)[:, None]
+        wb = (sx * sy)[:, None]
+        wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+        wd = (sx * (1.0 - sy))[:, None]
+        return fa * wa + fb * wb + fc * wc + fd * wd
+
+    vals = frame(i0) * (1.0 - w1)[:, None] + frame(i1) * w1[:, None]
+    in_range = jnp.abs(lat) <= 0.5 * pi
+    return jnp.where(in_range[:, None], vals, jnp.nan)

@@ -97,6 +97,7 @@ class _Carry(NamedTuple):
     y: jnp.ndarray         # (5, R)
     t: jnp.ndarray         # (R,)
     h: jnp.ndarray         # (R,) current |step|
+    f: jnp.ndarray         # (5, R) rhs at (t, y) -- FSAL carry
     rejected: jnp.ndarray  # (R,) bool: rejected earlier within current step
     new_step: jnp.ndarray  # (R,) bool: next attempt starts a fresh step
     done: jnp.ndarray      # (R,) bool: reached t_bound
@@ -121,6 +122,7 @@ def integrate_interval(
 
     carry = _Carry(
         y=y, t=t, h=h,
+        f=rhs_fn(y, t),
         rejected=jnp.zeros(t.shape, bool),
         new_step=jnp.ones(t.shape, bool),
         done=done,
@@ -132,7 +134,12 @@ def integrate_interval(
         return jnp.any(~c.done) & (c.iters < max_iters)
 
     def body(c: _Carry) -> _Carry:
-        f0 = rhs_fn(c.y, c.t)
+        # FSAL: K0 = rhs(t, y) is carried -- for retry lanes y is unchanged
+        # so the previous value is exact; for freshly-accepted lanes the
+        # 7th stage f_new below IS rhs at the new state (Dormand-Prince's
+        # first-same-as-last property). The reference recomputes it each
+        # step (rkf45.py:378) with identical value.
+        f0 = c.f
         heff = jnp.where(c.new_step, jnp.maximum(c.h, min_step), c.h)
         t_new = c.t + heff
         t_new = jnp.where(t_new > t_bound, t_bound, t_new)
@@ -163,6 +170,7 @@ def integrate_interval(
         act = ~c.done
         upd = act & accept
         y_out = jnp.where(upd[None, :], y_new, c.y)
+        f_out = jnp.where(upd[None, :], f_new, c.f)
         t_out = jnp.where(upd, t_new, c.t)
         t_out = jnp.where(jnp.isnan(t_out), t_bound, t_out)
         h_out = jnp.where(act, h_next, c.h)
@@ -170,9 +178,9 @@ def integrate_interval(
         new_step_out = jnp.where(act, accept, c.new_step)
         done_out = c.done | (upd & (t_out >= t_bound))
         return _Carry(
-            y=y_out, t=t_out, h=h_out,
+            y=y_out, t=t_out, h=h_out, f=f_out,
             rejected=rejected_out, new_step=new_step_out, done=done_out,
-            iters=c.iters + 1, nfev=c.nfev + 7,
+            iters=c.iters + 1, nfev=c.nfev + 6,
         )
 
     out = jax.lax.while_loop(cond, body, carry)

@@ -68,9 +68,10 @@ def source_matrix(
 def make_background(bs: BasicState, freq: float) -> Background:
     dtype = bs.fields.dtype
     return Background(
-        # Hot 12-field slice: the RHS never reads the third derivatives
-        # (see ops/interp.py NUM_HOT) -- 33% less gather bandwidth per step.
-        fields=bs.fields[..., : interp.NUM_HOT],
+        # Hot 12-field slice (the RHS never reads the third derivatives, see
+        # ops/interp.py NUM_HOT), corner-packed so each RHS evaluation does
+        # ONE row gather per ray instead of four (interp.pack_corners).
+        fields=interp.pack_corners(bs.fields[..., : interp.NUM_HOT]),
         lon0=bs.lon[0].astype(dtype),
         lat0=bs.lat[0].astype(dtype),
         dx=jnp.asarray(bs.dx, dtype),
