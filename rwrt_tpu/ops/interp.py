@@ -77,6 +77,49 @@ def bilinear_gather(fields: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.
     return fa * wa + fb * wb + fc * wc + fd * wd
 
 
+def bilinear_gather_masked(
+    fields: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+    *, fallback_mean: bool = False,
+) -> jnp.ndarray:
+    """Bilinear gather with missing-value (NaN) corner handling.
+
+    Counterpart of the reference's scalar linint2_point missing-value logic
+    (interpolation.py:325-339): if any of the 4 corners is missing, the
+    result is missing -- unless ``fallback_mean`` (the reference's nopt=-1),
+    in which case the plain mean of the valid corners is returned. The main
+    pipeline never hits this (background fields are complete); it exists for
+    gappy observational inputs.
+    """
+    w, h, _ = fields.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    sx = (x - x0.astype(x.dtype))[:, None]
+    sy = (y - y0.astype(y.dtype))[:, None]
+
+    flat = fields.reshape(w * h, -1)
+    corners = [
+        jnp.take(flat, x0 * h + y1, axis=0),
+        jnp.take(flat, x1 * h + y1, axis=0),
+        jnp.take(flat, x0 * h + y0, axis=0),
+        jnp.take(flat, x1 * h + y0, axis=0),
+    ]
+    weights = [(1.0 - sx) * sy, sx * sy, (1.0 - sx) * (1.0 - sy),
+               sx * (1.0 - sy)]
+    interp_val = sum(c * wgt for c, wgt in zip(corners, weights))
+    any_missing = sum(jnp.isnan(c) for c in corners) > 0
+    if not fallback_mean:
+        return jnp.where(any_missing, jnp.nan, interp_val)
+    valid = [~jnp.isnan(c) for c in corners]
+    n_valid = sum(v.astype(interp_val.dtype) for v in valid)
+    mean_val = sum(jnp.where(v, c, 0.0) for c, v in zip(corners, valid)) / (
+        jnp.maximum(n_valid, 1.0)
+    )
+    mean_val = jnp.where(n_valid == 0, jnp.nan, mean_val)
+    return jnp.where(any_missing, mean_val, interp_val)
+
+
 def sample_raw(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
     """Interpolate the raw 18-field stack at (lon, lat) points.
 

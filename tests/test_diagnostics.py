@@ -154,3 +154,31 @@ def test_unwrap_longitude():
     lon = jnp.asarray(np.radians([[350.0], [10.0], [30.0]]))
     un = np.degrees(np.asarray(flux_mod._unwrap_lon(lon)))
     np.testing.assert_allclose(un[:, 0], [350.0, 370.0, 390.0], atol=1e-6)
+
+
+def test_masked_bilinear_gather():
+    from rwrt_tpu.ops.interp import bilinear_gather_masked
+
+    f = np.arange(25, dtype=float).reshape(5, 5)[:, :, None]
+    f[2, 2, 0] = np.nan
+    fj = jnp.asarray(f)
+    x = jnp.asarray([0.5, 1.7])
+    y = jnp.asarray([0.5, 1.6])
+    # point 0 far from the NaN corner -> plain bilinear
+    strict = np.asarray(bilinear_gather_masked(fj, x, y))
+    assert np.isfinite(strict[0, 0])
+    assert np.isnan(strict[1, 0])  # touches corner (2,2)
+    fb = np.asarray(bilinear_gather_masked(fj, x, y, fallback_mean=True))
+    # fallback: mean of the 3 valid corners of cell (1..2, 1..2)
+    np.testing.assert_allclose(fb[1, 0], np.mean([6.0, 7.0, 11.0]))
+
+
+def test_termination_report(small_traj):
+    from rwrt_tpu.diagnostics.termination import analyze
+
+    rep = analyze(small_traj)
+    nt = np.asarray(small_traj.lon).shape[0]
+    total = np.asarray(small_traj.lon[0]).size
+    assert (rep.death_step >= -1).all() and (rep.death_step <= nt).all()
+    assert sum(rep.counts.values()) == total
+    assert 0.0 <= rep.alive_frac[-1] <= 1.0
