@@ -1,0 +1,25 @@
+"""Diagnostics: grid-wide wavenumber maps, spectral filtering, wave-ray flux,
+termination accounting."""
+
+from rwrt_tpu.diagnostics.flux import (
+    WaveRayFlux,
+    region_mask,
+    threshold_filter,
+    wave_ray_flux,
+)
+from rwrt_tpu.diagnostics.spectral import shsf, spectral_filter
+from rwrt_tpu.diagnostics.termination import TerminationReport, analyze
+from rwrt_tpu.diagnostics.wavenumber import (
+    WavenumberMaps,
+    compute_wavenumber_maps,
+    fill_nan_neighborhood_mean,
+    turning_critical_masks,
+)
+
+__all__ = [
+    "WaveRayFlux", "region_mask", "threshold_filter", "wave_ray_flux",
+    "shsf", "spectral_filter",
+    "TerminationReport", "analyze",
+    "WavenumberMaps", "compute_wavenumber_maps",
+    "fill_nan_neighborhood_mean", "turning_critical_masks",
+]
