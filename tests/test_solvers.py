@@ -99,3 +99,30 @@ def test_rk45_nan_rays_finish_immediately():
     assert np.isnan(np.asarray(y)[0, 1])
     assert np.isfinite(np.asarray(y)[0, 0])
     assert np.asarray(t)[1] == 10.0  # dead ray jumped to t_bound
+
+
+def test_rk4_fourth_order_convergence(jet_field):
+    """Halving dt must cut RK4 trajectory error ~16x (4th order), measured
+    against a tight-tolerance RK45 solution of the same ray problem."""
+    import rwrt_tpu as rt
+    from rwrt_tpu.config import RunConfig
+
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    base = dict(zwn=(3.0,), sw_lon=40.0, sw_lat=25.0, dlon=1.0, dlat=1.0,
+                nnx=1, nny=1, ttotal=2 * 86400.0, cal_dtype="float64")
+
+    ref = rt.trace_rays(bs, RunConfig(integrator="rk45", tstep=2 * 3600.0,
+                                      rtol=1e-12, atol=1e-12, **base))
+    errs = {}
+    for tstep in (4 * 3600.0, 2 * 3600.0):
+        t = rt.trace_rays(bs, RunConfig(integrator="rk4", tstep=tstep, **base))
+        stride = int(tstep // (2 * 3600.0))
+        la = np.asarray(t.lat)[:, 0, 0, 0]
+        lo = np.asarray(t.lon)[:, 0, 0, 0]
+        la_r = np.asarray(ref.lat)[::stride, 0, 0, 0][: len(la)]
+        lo_r = np.asarray(ref.lon)[::stride, 0, 0, 0][: len(lo)]
+        ok = np.isfinite(la) & np.isfinite(la_r)
+        errs[tstep] = np.max(np.hypot(la[ok] - la_r[ok], lo[ok] - lo_r[ok]))
+    ratio = errs[4 * 3600.0] / errs[2 * 3600.0]
+    assert ratio > 8.0, f"convergence ratio {ratio} (expected ~16 for 4th order)"
