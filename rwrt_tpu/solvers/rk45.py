@@ -185,3 +185,160 @@ def integrate_interval(
 
     out = jax.lax.while_loop(cond, body, carry)
     return out.y, out.t, out.h, out.iters, out.nfev
+
+
+class _GroupCarry(NamedTuple):
+    y: jnp.ndarray         # (5, R)
+    t: jnp.ndarray         # (R,)
+    h: jnp.ndarray         # (R,)
+    f: jnp.ndarray         # (5, R) FSAL carry
+    rejected: jnp.ndarray  # (R,) bool
+    new_step: jnp.ndarray  # (R,) bool
+    idx: jnp.ndarray       # (R,) int32: which bound each ray works toward
+    hist: jnp.ndarray      # (G, 5, R) saved states at each bound (NaN init)
+    prev_lon: jnp.ndarray  # (R,) last saved lon (for the haversine kill)
+    prev_lat: jnp.ndarray  # (R,)
+    iters: jnp.ndarray
+    nfev: jnp.ndarray
+
+
+def integrate_group(
+    rhs_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
+    rtol, atol, min_step, max_iters: int = 1_000_000,
+):
+    """Advance every ray through a GROUP of output bounds asynchronously.
+
+    Numerically IDENTICAL to calling integrate_interval once per bound with
+    the tracer's kill-mask/reset between intervals (tests assert equality):
+    the adaptive controller is per-ray independent, each ray still clamps to
+    and stops at every bound, applies the termination masks against its own
+    previously-saved state (reference wr.py:831-885), and continues from the
+    masked state. What changes is only WHEN rays compute: a ray that finishes
+    bound j proceeds immediately to bound j+1 instead of idling until the
+    whole batch finishes j. This removes the per-interval straggler barrier:
+    total while-iterations become max-over-rays of total attempts in the
+    group rather than a sum of per-interval maxima (~2x fewer at 100k rays).
+
+    Args:
+      f: (5, R) rhs at (t, y) (FSAL carry; pass rhs_fn(y, t) at t=0).
+      bounds: (G,) increasing output times.
+
+    Returns:
+      (hist (G, 5, R), y, t, h, f, prev_lon, prev_lat, iters, nfev).
+    """
+    g = bounds.shape[0]
+    r = t.shape[0]
+    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+    # Rays with any NaN component at entry (e.g. rootless slots: finite
+    # position, NaN wavenumber/amp from initialization) never advance; the
+    # barrier path saves their UNCHANGED state at every bound (the interval
+    # entry marks them accepted with y untouched, and the kill masks cannot
+    # trigger on an unchanged state). Pre-fill all their slots and finish
+    # them outright.
+    idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
+    t = jnp.where(nan_mean, bounds[-1], t)
+    hist0 = jnp.where(
+        nan_mean[None, None, :],
+        jnp.broadcast_to(y[None], (g,) + y.shape),
+        jnp.nan,
+    ).astype(y.dtype)
+
+    carry = _GroupCarry(
+        y=y, t=t, h=h, f=f,
+        rejected=jnp.zeros(r, bool),
+        new_step=jnp.ones(r, bool),
+        idx=idx0,
+        hist=hist0,
+        prev_lon=prev_lon, prev_lat=prev_lat,
+        iters=jnp.zeros((), jnp.int32),
+        nfev=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c: _GroupCarry):
+        return jnp.any(c.idx < g) & (c.iters < max_iters)
+
+    def body(c: _GroupCarry) -> _GroupCarry:
+        done = c.idx >= g
+        bound = jnp.take(bounds, jnp.minimum(c.idx, g - 1))
+
+        f0 = c.f
+        heff = jnp.where(c.new_step, jnp.maximum(c.h, min_step), c.h)
+        t_new = c.t + heff
+        t_new = jnp.where(t_new > bound, bound, t_new)
+        hstep = t_new - c.t
+
+        k = [f0]
+        for s in range(1, 6):
+            dy = hstep[None, :] * sum(
+                DP_A[s][j] * k[j] for j in range(s) if DP_A[s][j] != 0.0
+            )
+            k.append(rhs_fn(c.y + dy, c.t + DP_C[s] * hstep))
+        y_new = c.y + hstep[None, :] * sum(DP_B[j] * k[j] for j in range(6))
+        f_new = rhs_fn(y_new, t_new)
+        k.append(f_new)
+
+        err = hstep[None, :] * sum(DP_E[j] * k[j] for j in range(7))
+        scale = atol + jnp.maximum(jnp.abs(c.y), jnp.abs(y_new)) * rtol
+        error_norm = _norm(err / scale)
+        error_norm = jnp.where(jnp.isnan(error_norm), 0.0, error_norm)
+
+        accept = error_norm < 1.0
+        raw = SAFETY * error_norm ** ERROR_EXPONENT
+        fac_acc = jnp.minimum(MAX_FACTOR, raw)
+        fac_acc = jnp.where(c.rejected, jnp.minimum(1.0, fac_acc), fac_acc)
+        fac_rej = jnp.maximum(MIN_FACTOR, raw)
+        h_next = jnp.where(accept, hstep * fac_acc, hstep * fac_rej)
+
+        act = ~done
+        upd = act & accept
+        t_out = jnp.where(upd, t_new, c.t)
+        t_out = jnp.where(act & jnp.isnan(t_out), bound, t_out)
+        crossing = upd & (t_out >= bound)
+
+        y_upd = jnp.where(upd[None, :], y_new, c.y)
+        # Termination masks at the bound, against the ray's own previously
+        # saved state (reference wr.py:838-850).
+        from rwrt_tpu.constants import pi as _pi
+
+        dlon = y_upd[0] - c.prev_lon
+        dlat_ = y_upd[1] - c.prev_lat
+        a_h = (
+            jnp.sin(dlat_ / 2.0) ** 2
+            + jnp.cos(c.prev_lat) * jnp.cos(y_upd[1]) * jnp.sin(dlon / 2.0) ** 2
+        )
+        ddis = jnp.abs(2.0 * jnp.arctan2(jnp.sqrt(a_h), jnp.sqrt(1.0 - a_h)))
+        kill = (jnp.abs(y_upd[1]) >= 0.5 * _pi) | (ddis >= cut_off)
+        y_sav = jnp.where((crossing & kill)[None, :], jnp.nan, y_upd)
+        y_out = jnp.where(crossing[None, :], y_sav, y_upd)
+
+        # Record the saved state into this ray's current bound slot.
+        sel = crossing[None, :] & (
+            jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0) == c.idx[None, :]
+        )[:, None, :].reshape(g, 1, r)
+        hist_out = jnp.where(sel, y_sav[None], c.hist)
+
+        # Dead after crossing -> skip all remaining bounds (their slots stay
+        # NaN, exactly like the barrier version's NaN propagation).
+        dead_after = crossing & jnp.isnan(y_sav[0])
+        idx_out = jnp.where(
+            dead_after, g, jnp.where(crossing, c.idx + 1, c.idx)
+        ).astype(jnp.int32)
+
+        f_out = jnp.where(upd[None, :], f_new, c.f)
+        h_out = jnp.where(act, h_next, c.h)
+        rejected_out = jnp.where(act, ~accept, c.rejected)
+        new_step_out = jnp.where(act, accept, c.new_step)
+        prev_lon_out = jnp.where(crossing, y_sav[0], c.prev_lon)
+        prev_lat_out = jnp.where(crossing, y_sav[1], c.prev_lat)
+
+        return _GroupCarry(
+            y=y_out, t=t_out, h=h_out, f=f_out,
+            rejected=rejected_out, new_step=new_step_out,
+            idx=idx_out, hist=hist_out,
+            prev_lon=prev_lon_out, prev_lat=prev_lat_out,
+            iters=c.iters + 1, nfev=c.nfev + 6,
+        )
+
+    out = jax.lax.while_loop(cond, body, carry)
+    return (out.hist, out.y, out.t, out.h, out.f, out.prev_lon,
+            out.prev_lat, out.iters, out.nfev)

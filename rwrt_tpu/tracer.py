@@ -180,6 +180,39 @@ def _rk45_chunk(bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step,
     return jax.lax.scan(interval, (y, t, h), t_bounds)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _rk45_group_chunk(bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off,
+                      rtol, atol, min_step, max_iters=1_000_000):
+    """One GROUP of output bounds, integrated asynchronously per ray
+    (solvers/rk45.py integrate_group) -- numerically identical to
+    _rk45_chunk over the same bounds, ~2x fewer while-iterations at scale.
+
+    Returns ((y, t, h, f, prev_lon, prev_lat), (hist, ugs, vgs, iters, nfev))
+    with hist/ugs/vgs leading axis = len(bounds).
+    """
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    hist, y, t, h, f, prev_lon, prev_lat, iters, nfev = (
+        rk45_mod.integrate_group(
+            rhs_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
+            rtol, atol, min_step, max_iters,
+        )
+    )
+    g = bounds.shape[0]
+    r = y.shape[1]
+    tb = jnp.repeat(bounds, r)
+    ugs, vgs = ray_mod.group_velocity_at(
+        bg, hist[:, S_LON].reshape(-1), hist[:, S_LAT].reshape(-1),
+        hist[:, S_KX].reshape(-1), hist[:, S_KY].reshape(-1), tb,
+    )
+    return (y, t, h, f, prev_lon, prev_lat), (
+        hist, ugs.reshape(g, r), vgs.reshape(g, r), iters, nfev
+    )
+
+
 def initial_step_sizes(bg, y0, rtol, atol):
     """Per-ray initial h for the adaptive solver (reference rkf45.py:34-99)."""
 
@@ -215,12 +248,56 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
     return ys, ugs, vgs, iters, nfev
 
 
+@functools.partial(jax.jit, static_argnames=("nt", "group"))
+def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
+                      min_step, group: int = 8):
+    """Adaptive run via group-asynchronous intervals (bit-identical to
+    _run_rk45, ~2x fewer device-loop iterations; see integrate_group)."""
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    h0 = initial_step_sizes(bg, y0, rtol, atol)
+    t0 = jnp.zeros(y0.shape[1], y0.dtype)
+    f0 = rhs_fn(y0, t0)
+
+    n_bounds = nt - 1
+    n_groups = -(-n_bounds // group)
+    # Pad the bounds so every group has `group` entries; padded bounds repeat
+    # the final time so already-finished rays cross them instantly and the
+    # extra slots are discarded after the scan.
+    padded = n_groups * group
+    bounds_all = (jnp.arange(1, padded + 1, dtype=y0.dtype)) * dt
+    bounds_all = jnp.minimum(bounds_all, (nt - 1) * dt)
+    bounds_g = bounds_all.reshape(n_groups, group)
+
+    def one_group(carry, bounds):
+        carry, (hist, ugs, vgs, iters, nfev) = _rk45_group_chunk(
+            bg, *carry, bounds, cut_off, rtol, atol, min_step
+        )
+        return carry, (hist, ugs, vgs, iters, nfev)
+
+    carry = (y0, t0, h0, f0, y0[S_LON], y0[S_LAT])
+    _, (hists, ugss, vgss, iters, nfev) = jax.lax.scan(
+        one_group, carry, bounds_g
+    )
+    ys = hists.reshape(padded, *y0.shape)[:n_bounds]
+    ugs = ugss.reshape(padded, -1)[:n_bounds]
+    vgs = vgss.reshape(padded, -1)[:n_bounds]
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    ugs = jnp.concatenate([ug0[None], ugs], axis=0)
+    vgs = jnp.concatenate([vg0[None], vgs], axis=0)
+    return ys, ugs, vgs, iters, nfev
+
+
 def trace_rays(
     bs: BasicState,
     config: RunConfig,
     source_lon: Optional[np.ndarray] = None,
     source_lat: Optional[np.ndarray] = None,
     mesh=None,
+    initial_state: Optional[jnp.ndarray] = None,
 ) -> RayTrajectories:
     """Run the full ray-tracing pipeline (reference wr.py:897-911).
 
@@ -232,6 +309,10 @@ def trace_rays(
         regular source matrix.
       mesh: optional jax.sharding.Mesh; the ray batch is sharded along its
         'rays' axis, the background replicated (see parallel/sharding.py).
+      initial_state: optional (5, R) state overriding the computed initial
+        conditions (the reference's debug hook load_init_from_precal_nc,
+        wr.py:398-415, which injects externally computed initials). R must be
+        3 * nsource * nzwn in (root, source, zwn) C order.
     """
     config.validate()
     dtype = bs.fields.dtype
@@ -271,11 +352,17 @@ def trace_rays(
             config.min_step_factor * config.tstep, config.tstep * 1e-3
         )  # reference rkf45.py:362
         rtol = rk45_mod.validate_tol(config.rtol, dtype)  # rkf45.py:21-26
-        ys, ugs, vgs, _, _ = _run_rk45(
-            bg, y0, ug0, vg0, dt, nt, cut_off,
-            rtol, jnp.asarray(config.atol, dtype),
-            jnp.asarray(min_step, dtype),
-        )
+        atol = jnp.asarray(config.atol, dtype)
+        min_step = jnp.asarray(min_step, dtype)
+        if config.interval_batch > 1:
+            ys, ugs, vgs, _, _ = _run_rk45_grouped(
+                bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+                group=min(config.interval_batch, nt - 1),
+            )
+        else:
+            ys, ugs, vgs, _, _ = _run_rk45(
+                bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+            )
 
     nsource = source_lon.shape[0]
     out_shape = (nt, 3, nsource, len(config.zwn))

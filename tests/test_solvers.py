@@ -126,3 +126,67 @@ def test_rk4_fourth_order_convergence(jet_field):
         errs[tstep] = np.max(np.hypot(la[ok] - la_r[ok], lo[ok] - lo_r[ok]))
     ratio = errs[4 * 3600.0] / errs[2 * 3600.0]
     assert ratio > 8.0, f"convergence ratio {ratio} (expected ~16 for 4th order)"
+
+
+def test_grouped_intervals_equal_barrier(jet_field):
+    """integrate_group (async per-ray interval advancement) must reproduce
+    the per-interval barrier path exactly, including kill masks and NaN
+    propagation."""
+    import jax.numpy as jnp
+    import rwrt_tpu as rt
+    from rwrt_tpu import tracer
+    from rwrt_tpu.models import ray as ray_mod
+
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    bg = tracer.make_background(bs, 0.0)
+    slon, slat = tracer.source_matrix(0.0, 5.0, 36.0, 8.0, 5, 4)
+    zwn = jnp.asarray([2.0, 4.0, 6.0])
+    y0, ug0, vg0 = tracer.initialize(
+        bg, jnp.asarray(slon), jnp.asarray(slat), zwn)
+
+    dt = jnp.asarray(2 * 3600.0, jnp.float64)
+    nt = 49  # 4 days
+    cut_off = jnp.asarray(0.2)
+    rtol = jnp.asarray(1e-6)
+    atol = jnp.asarray(1e-6)
+    min_step = jnp.asarray(7.2)
+    bounds = jnp.arange(1, nt, dtype=jnp.float64) * dt
+
+    # barrier
+    h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
+    t0 = jnp.zeros(y0.shape[1], jnp.float64)
+    _, (ys_b, ug_b, vg_b, it_b, _) = tracer._rk45_chunk(
+        bg, y0, t0, h0, bounds, cut_off, rtol, atol, min_step)
+
+    # grouped (group size 8, uneven tail of 48 % 8 == 0 -> use 7 to test tail)
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    carry = (y0, t0, h0, rhs_fn(y0, t0), y0[0], y0[1])
+    hists, ugs, vgs, iters_g = [], [], [], 0
+    g = 7
+    i = 0
+    while i < nt - 1:
+        bsl = bounds[i : i + g]
+        carry, (hist, ug, vg, it, _) = tracer._rk45_group_chunk(
+            bg, *carry, bsl, cut_off, rtol, atol, min_step)
+        hists.append(np.asarray(hist))
+        ugs.append(np.asarray(ug))
+        vgs.append(np.asarray(vg))
+        iters_g += int(it)
+        i += len(bsl)
+
+    ys_g = np.concatenate(hists, axis=0)
+    ug_g = np.concatenate(ugs, axis=0)
+    vg_g = np.concatenate(vgs, axis=0)
+
+    np.testing.assert_allclose(ys_g, np.asarray(ys_b), rtol=0, atol=0,
+                               equal_nan=True)
+    np.testing.assert_allclose(ug_g, np.asarray(ug_b), rtol=0, atol=0,
+                               equal_nan=True)
+    np.testing.assert_allclose(vg_g, np.asarray(vg_b), rtol=0, atol=0,
+                               equal_nan=True)
+    # and it should not take MORE iterations than the barrier path
+    assert iters_g <= int(np.asarray(it_b).sum())
