@@ -327,6 +327,13 @@ def trace_rays(
 
     bg = make_background(bs, config.freq)
     y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+    if initial_state is not None:
+        y0 = jnp.asarray(initial_state, dtype)
+        if y0.shape != (5, 3 * source_lon.shape[0] * len(config.zwn)):
+            raise ValueError(f"initial_state shape {y0.shape} mismatch")
+        ug0, vg0 = ray_mod.group_velocity_at(
+            bg, y0[S_LON], y0[S_LAT], y0[S_KX], y0[S_KY], zero_invalid=True
+        )
 
     n_rays = y0.shape[1]
     if mesh is not None:

@@ -67,3 +67,48 @@ def test_run_pipeline_end_to_end(tmp_path, jet_field):
     np.testing.assert_allclose(
         float(traj.lon[0, 0, 0, 0]), np.radians(10.0), atol=1e-12
     )
+
+
+def test_initial_state_injection(jet_field):
+    """trace_rays(initial_state=...) overrides computed initials (reference
+    debug hook load_init_from_precal_nc, wr.py:398-415)."""
+    import jax.numpy as jnp
+
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    cfg = RunConfig(zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+                    nnx=1, nny=1, tstep=2 * HOUR, ttotal=1 * DAY,
+                    integrator="rk4", cal_dtype="float64")
+    base = rt.trace_rays(bs, cfg)
+    y0 = jnp.asarray(np.stack([
+        np.asarray(base.lon[0]).reshape(-1),
+        np.asarray(base.lat[0]).reshape(-1) + 0.05,  # shift initial lat
+        np.asarray(base.kx[0]).reshape(-1),
+        np.asarray(base.ky[0]).reshape(-1),
+        np.asarray(base.amp[0]).reshape(-1),
+    ]))
+    shifted = rt.trace_rays(bs, cfg, initial_state=y0)
+    np.testing.assert_allclose(
+        np.asarray(shifted.lat[0]).reshape(-1),
+        np.asarray(base.lat[0]).reshape(-1) + 0.05,
+    )
+    la, lb = np.asarray(base.lat[-1]), np.asarray(shifted.lat[-1])
+    both = np.isfinite(la) & np.isfinite(lb)
+    assert not np.allclose(la[both], lb[both])
+
+
+def test_load_basic_state_roundtrip(tmp_path, jet_field):
+    """Stage-level restart: write basic state, reload, identical rays
+    (reference read_from_precaled_nc, bs.py:409-454)."""
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    path = str(tmp_path / "bs.npz")
+    ncio.write_basic_state(bs, path)
+    bs2 = ncio.load_basic_state(path, cal_dtype="float64")
+    cfg = RunConfig(zwn=(2.0, 4.0), sw_lon=0.0, sw_lat=15.0, dlon=120.0,
+                    dlat=10.0, nnx=2, nny=2, tstep=2 * HOUR, ttotal=2 * DAY,
+                    integrator="rk4", cal_dtype="float64")
+    a = rt.trace_rays(bs, cfg)
+    b = rt.trace_rays(bs2, cfg)
+    np.testing.assert_allclose(np.asarray(a.lat), np.asarray(b.lat),
+                               rtol=0, atol=1e-12, equal_nan=True)
