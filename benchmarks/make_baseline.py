@@ -69,16 +69,19 @@ def main():
     finally:
         rkf45.rk_step = orig_rk_step
 
-    ray_steps = lane_attempts[0]
+    nt = int(ttotal / tstep) + 1
     out = {
-        "ray_steps_per_sec": ray_steps / wall,
+        "output_ray_steps_per_sec": n_rays * (nt - 1) / wall,
+        "ray_steps_per_sec": lane_attempts[0] / wall,
         "wall_s": wall,
         "n_rays": n_rays,
         "days": days,
-        "lane_attempts": ray_steps,
+        "lane_attempts": lane_attempts[0],
         "note": (
-            "reference vectorized RK45 (numpy dialect) on CPU; ray-steps = "
-            "per-lane 7-stage step attempts, counted via rk_step interception"
+            "reference vectorized RK45 (numpy dialect) on CPU; "
+            "output_ray_steps = ray lanes x output intervals (work "
+            "delivered); ray_steps = per-lane 7-stage step attempts counted "
+            "via rk_step interception"
         ),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_cpu.json")
