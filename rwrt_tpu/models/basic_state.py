@@ -149,7 +149,21 @@ def prepare(
     """
     u = jnp.asarray(u, read_dtype)
     v = jnp.asarray(v, read_dtype)
+    if u.ndim != 2 or u.shape != v.shape:
+        raise ValueError(f"u/v must be matching 2-D (nlon, nlat); got "
+                         f"{u.shape} vs {v.shape}")
     nlon, nlat = u.shape
+    if nlon < 2 or nlat < 2:
+        raise ValueError("need at least 2 points per axis")  # reference
+        # interpolation.py:269-277 (not enough points / dmonoinc checks)
+    if lat is not None:
+        lat_np = np.asarray(lat)
+        if not np.all(np.diff(lat_np) > 0):
+            raise ValueError(
+                "lat must be strictly ascending (reference dmonoinc, "
+                "interpolation.py:25-34; ncio.load_wind flips descending "
+                "grids automatically)"
+            )
     dx = 2.0 * pi / nlon
     dy = pi / (nlat - 1)
     if lat is None:

@@ -145,3 +145,22 @@ def test_rk4_amp_and_wavenumbers_match(jet_field, ours_bs):
                         scale = np.max(np.abs(a[both])) + 1e-12
                         errs.append(np.max(np.abs(a[both] - b[both])) / scale)
     assert max(errs) < 1e-3, f"max relative field error {max(errs)}"
+
+
+def test_nonstationary_rk4_matches_reference(jet_field, ours_bs):
+    """freq != 0 (non-stationary waves): the ps = freq/k*R term enters the
+    dispersion cubic and the RHS; golden comparison vs the reference."""
+    freq = -1.0 / (5.0 * DAY)  # the commented reference example, main_wr.py:64
+    case = dict(CASE)
+    case["ttotal"] = 6 * DAY
+    u, v, lat, lon = jet_field
+    ref = run_reference_wr(u, v, lat, lon, inte_method="", freq=freq, **case)
+    cfg = RunConfig(
+        zwn=case["zwn"], sw_lon=case["sw_lon"], sw_lat=case["sw_lat"],
+        dlon=case["dlon"], dlat=case["dlat"], nnx=case["nnx"], nny=case["nny"],
+        tstep=case["tstep"], ttotal=case["ttotal"], freq=freq,
+        integrator="rk4", cal_dtype="float64",
+    )
+    traj = rt.trace_rays(ours_bs, cfg)
+    rmse, frac = _compare(ref, traj)
+    print(f"nonstationary RK4 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
