@@ -19,6 +19,8 @@ import numpy as np
 
 from rwrt_tpu.config import RunConfig
 from rwrt_tpu.models.basic_state import BasicState
+import jax
+
 from rwrt_tpu.tracer import (
     RayTrajectories,
     initial_step_sizes,
@@ -26,6 +28,7 @@ from rwrt_tpu.tracer import (
     make_background,
     source_matrix,
     _rk45_chunk,
+    _rk45_group_chunk,
     _rk4_chunk,
 )
 from rwrt_tpu.utils.observability import Progress, run_banner
@@ -129,6 +132,16 @@ def trace_rays_chunked(
     elif h is None:
         h = jnp.zeros(n_rays, dtype)
 
+    # Group-path carry: FSAL derivative and the last saved position (for the
+    # haversine kill). Both are recoverable at any chunk boundary: f is
+    # rhs(t, y) by the FSAL invariant, prev is the carry state itself (y IS
+    # the last saved masked state), so checkpoints need not store them.
+    from rwrt_tpu.models import ray as _ray_mod
+
+    if config.integrator == "rk45":
+        f_carry, _ = jax.jit(_ray_mod.rhs)(bg, y, jnp.asarray(0.0, dtype))
+        prev_lon, prev_lat = y[0], y[1]
+
     progress = Progress(nt - 1) if verbose else None
     step = start
     while step < nt:
@@ -138,6 +151,14 @@ def trace_rays_chunked(
             t_start = jnp.asarray((step - 1) * config.tstep, dtype)
             y, (ys, ugs, vgs) = _rk4_chunk(bg, y, dt, n, cut_off, t_start)
             ray_steps = n * n_rays
+        elif config.interval_batch > 1:
+            (y, t, h, f_carry, prev_lon, prev_lat), (ys, ugs, vgs, iters, _) = (
+                _rk45_group_chunk(
+                    bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
+                    cut_off, rtol, atol, min_step,
+                )
+            )
+            ray_steps = int(np.asarray(iters)) * n_rays
         else:
             (y, t, h), (ys, ugs, vgs, iters, _) = _rk45_chunk(
                 bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
