@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rwrt_tpu.constants import pi
+
 # Dormand-Prince 5(4) tableau (reference rkf45.py:604-615). Plain Python
 # floats (weak types) so they never promote a float32 carry to float64.
 DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0)
@@ -298,8 +300,6 @@ def integrate_group(
         y_upd = jnp.where(upd[None, :], y_new, c.y)
         # Termination masks at the bound, against the ray's own previously
         # saved state (reference wr.py:838-850).
-        from rwrt_tpu.constants import pi as _pi
-
         dlon = y_upd[0] - c.prev_lon
         dlat_ = y_upd[1] - c.prev_lat
         a_h = (
@@ -307,7 +307,7 @@ def integrate_group(
             + jnp.cos(c.prev_lat) * jnp.cos(y_upd[1]) * jnp.sin(dlon / 2.0) ** 2
         )
         ddis = jnp.abs(2.0 * jnp.arctan2(jnp.sqrt(a_h), jnp.sqrt(1.0 - a_h)))
-        kill = (jnp.abs(y_upd[1]) >= 0.5 * _pi) | (ddis >= cut_off)
+        kill = (jnp.abs(y_upd[1]) >= 0.5 * pi) | (ddis >= cut_off)
         y_sav = jnp.where((crossing & kill)[None, :], jnp.nan, y_upd)
         y_out = jnp.where(crossing[None, :], y_sav, y_upd)
 
