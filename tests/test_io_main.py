@@ -112,3 +112,29 @@ def test_load_basic_state_roundtrip(tmp_path, jet_field):
     b = rt.trace_rays(bs2, cfg)
     np.testing.assert_allclose(np.asarray(a.lat), np.asarray(b.lat),
                                rtol=0, atol=1e-12, equal_nan=True)
+
+
+def test_cli_end_to_end(tmp_path, jet_field):
+    """python -m rwrt_tpu --config run.json (C20 CLI entry)."""
+    import json
+
+    from rwrt_tpu.__main__ import main as cli_main
+
+    u, v, lat, lon = jet_field
+    inp = str(tmp_path / "wind.npz")
+    np.savez(inp, u=u.T, v=v.T, lat=np.degrees(lat), lon=np.degrees(lon))
+    cfg = {
+        "inputuv": inp,
+        "ncfile": str(tmp_path / "rays.npz"),
+        "zwn": [3.0],
+        "sw_lon": 10.0, "sw_lat": 20.0, "dlon": 1.0, "dlat": 1.0,
+        "nnx": 1, "nny": 1,
+        "tstep": 7200.0, "ttotal": 86400.0,
+        "integrator": "rk4", "cal_dtype": "float64",
+    }
+    cfg_path = str(tmp_path / "run.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    assert cli_main(["--config", cfg_path]) == 0
+    out = ncio.load_trajectories(str(tmp_path / "rays.npz"))
+    assert out["rlon"].shape[0] == 13
