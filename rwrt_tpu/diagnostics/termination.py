@@ -11,10 +11,8 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from rwrt_tpu.constants import pi
 from rwrt_tpu.tracer import RayTrajectories
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rwrt_tpu.constants import omega, pi, rearth, undef
+from rwrt_tpu.constants import omega, rearth, undef
 
 
 def gradient_x(f: jnp.ndarray, dx) -> jnp.ndarray:

@@ -28,11 +28,10 @@ Controller semantics preserved (reference file:line):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rwrt_tpu.constants import pi
 

@@ -20,7 +20,7 @@ import sys
 import time
 
 from rwrt_tpu.config import RunConfig
-from rwrt_tpu.constants import day, rad2deg
+from rwrt_tpu.constants import day
 
 
 def run_banner(config: RunConfig, nlon: int, nlat: int, *, file=sys.stdout):
