@@ -42,7 +42,7 @@ class RunConfig:
     # Output intervals advanced per device loop (solvers/rk45.py
     # integrate_group). >1 removes the per-interval straggler barrier;
     # results are bit-identical for any value (tests/test_solvers.py).
-    interval_batch: int = 8
+    interval_batch: int = 16
     # Displacement kill threshold, radians per tstep-hour (wr.py:170).
     cut_off: float = 0.1
     # Background handling.
