@@ -15,11 +15,6 @@ CFG = dict(
 )
 
 
-def _winds(jet_field, scale=1.0):
-    u, v, lat, lon = jet_field
-    return u * scale, v * scale, lat, lon
-
-
 @pytest.mark.parametrize("integrator", ["rk4", "rk45"])
 def test_constant_frames_equal_static(jet_field, integrator):
     """A time-varying background whose frames are identical must reproduce
