@@ -164,3 +164,22 @@ def test_nonstationary_rk4_matches_reference(jet_field, ours_bs):
     traj = rt.trace_rays(ours_bs, cfg)
     rmse, frac = _compare(ref, traj)
     print(f"nonstationary RK4 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
+
+
+def test_interval_batch_invariance(jet_field, ours_bs):
+    """trace_rays results must be identical for any interval_batch (the
+    grouped runner incl. its padded-tail bounds vs the barrier runner)."""
+    base = dict(
+        zwn=(2.0, 5.0), sw_lon=0.0, sw_lat=10.0, dlon=120.0, dlat=15.0,
+        nnx=2, nny=2, tstep=2 * HOUR, ttotal=5 * DAY,  # 60 bounds
+        integrator="rk45", cal_dtype="float64",
+    )
+    a = rt.trace_rays(ours_bs, RunConfig(interval_batch=1, **base))
+    for batch in (7, 16, 60):
+        b = rt.trace_rays(ours_bs, RunConfig(interval_batch=batch, **base))
+        for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, k)), np.asarray(getattr(b, k)),
+                rtol=0, atol=0, equal_nan=True,
+                err_msg=f"batch={batch} field={k}",
+            )
