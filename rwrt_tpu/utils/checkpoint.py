@@ -62,8 +62,17 @@ def trace_rays_chunked(
     source_lon=None,
     source_lat=None,
     mesh=None,
+    sort_rays: bool = False,
 ) -> RayTrajectories:
-    """Like tracer.trace_rays but chunked, with progress + checkpointing."""
+    """Like tracer.trace_rays but chunked, with progress + checkpointing.
+
+    sort_rays: reorder ray lanes by their current background grid cell at
+    every chunk boundary (host-side). Per-ray results are bit-identical
+    (every device op is elementwise along the lane axis), but the hot-loop
+    gather touches the field stack in near-sorted order, and dead (NaN) rays
+    cluster at the end. History is written back through the lane->ray map so
+    outputs are in the original order.
+    """
     config.validate()
     dtype = bs.fields.dtype
     if source_lon is None:
@@ -142,9 +151,49 @@ def trace_rays_chunked(
         f_carry, _ = jax.jit(_ray_mod.rhs)(bg, y, jnp.asarray(0.0, dtype))
         prev_lon, prev_lat = y[0], y[1]
 
+    lane_to_ray = np.arange(n_rays)
+
+    def _resort():
+        """Reorder lanes by current grid cell (stable; NaN lanes last)."""
+        nonlocal y, t, h, f_carry, prev_lon, prev_lat, lane_to_ray
+        ylon = np.asarray(y[0])
+        ylat = np.asarray(y[1])
+        two_pi = 2.0 * np.pi
+        w = bs.fields.shape[-3] if bs.fields.ndim == 4 else bs.fields.shape[0]
+        hgt = bs.lat.shape[0]
+        ix = np.floor((ylon % two_pi - float(bs.lon[0])) / bs.dx)
+        iy = np.floor((ylat - float(bs.lat[0])) / bs.dy)
+        cell = np.clip(ix, 0, w - 1) * hgt + np.clip(iy, 0, hgt - 1)
+        cell = np.where(np.isfinite(cell), cell, np.inf)
+        order = np.argsort(cell, kind="stable")
+        if np.array_equal(order, np.arange(n_rays)):
+            return
+        lane_to_ray = lane_to_ray[order]
+
+        def perm(a, axis=-1):
+            arr = jnp.take(a, jnp.asarray(order), axis=axis)
+            return sh_shard(arr)
+
+        def sh_shard(a):
+            if mesh is not None:
+                from rwrt_tpu.parallel import sharding as sh
+
+                return sh.shard_rays(a, mesh)
+            return a
+
+        y = perm(y)
+        t = perm(t)
+        h = perm(h)
+        if config.integrator == "rk45":
+            f_carry = perm(f_carry)
+            prev_lon = perm(prev_lon)
+            prev_lat = perm(prev_lat)
+
     progress = Progress(nt - 1) if verbose else None
     step = start
     while step < nt:
+        if sort_rays:
+            _resort()
         n = min(chunk_steps, nt - step)
         t_bounds = (jnp.arange(step, step + n, dtype=dtype)) * dt
         if config.integrator == "rk4":
@@ -166,16 +215,20 @@ def trace_rays_chunked(
             ray_steps = int(np.asarray(iters).sum()) * n_rays
         ys = np.asarray(ys)
         for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
-            hist[k][step : step + n] = ys[:, i]
-        hist["ug"][step : step + n] = np.asarray(ugs)
-        hist["vg"][step : step + n] = np.asarray(vgs)
+            hist[k][step : step + n, lane_to_ray] = ys[:, i]
+        hist["ug"][step : step + n, lane_to_ray] = np.asarray(ugs)
+        hist["vg"][step : step + n, lane_to_ray] = np.asarray(vgs)
         step += n
         if progress:
             progress.update(step - 1, ray_steps)
         if checkpoint_path:
+            # Persist the carry in ORIGINAL ray order so resume (which
+            # recomputes f/prev and restarts the lane map) is order-free.
+            inv = np.argsort(lane_to_ray)
             _save(
-                checkpoint_path, step, y, t,
-                h if h is not None else np.zeros(()),
+                checkpoint_path, step,
+                np.asarray(y)[:, inv], np.asarray(t)[inv],
+                np.asarray(h)[inv] if h is not None else np.zeros(()),
                 {k: v[:step] for k, v in hist.items()},
             )
 

@@ -84,3 +84,18 @@ def test_checkpoint_resume(bs, tmp_path):
     resumed = trace_rays_chunked(bs, cfg, chunk_steps=10, verbose=False,
                                  checkpoint_path=ckpt, resume=True)
     _assert_traj_equal(full, resumed)
+
+
+@pytest.mark.parametrize("integrator", ["rk4", "rk45"])
+def test_sorted_rays_bitwise_equal(bs, integrator):
+    """sort_rays reorders lanes for gather locality; every device op is
+    elementwise along the lane axis, so results must be bit-identical."""
+    cfg = RunConfig(integrator=integrator, **CFG)
+    plain = trace_rays_chunked(bs, cfg, chunk_steps=9, verbose=False)
+    sorted_ = trace_rays_chunked(bs, cfg, chunk_steps=9, verbose=False,
+                                 sort_rays=True)
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(plain, k)), np.asarray(getattr(sorted_, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k,
+        )
