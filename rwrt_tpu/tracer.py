@@ -213,6 +213,45 @@ def _rk45_group_chunk(bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _rk45_group_chunk_sorted(bg, y, t, h, f, prev_lon, prev_lat, bounds,
+                             cut_off, rtol, atol, min_step,
+                             max_iters=1_000_000):
+    """_rk45_group_chunk with a device-side lane sort by background grid cell.
+
+    Rays near each other on the grid end up in adjacent lanes, so the
+    per-iteration row gather walks the field stack in near-sorted order
+    (DMA-friendly). Every hot-loop op is elementwise along the lane axis, so
+    results are bit-identical to the unsorted chunk; outputs and carries are
+    unpermuted back to the original lane order before returning.
+    """
+    w = bg.fields.shape[-3]
+    hgt = bg.fields.shape[-2]
+    from rwrt_tpu.constants import pi as _pi
+
+    ix = jnp.floor((y[S_LON] % (2.0 * _pi) - bg.lon0) / bg.dx)
+    iy = jnp.floor((y[S_LAT] - bg.lat0) / bg.dy)
+    cell = jnp.clip(ix, 0, w - 1) * hgt + jnp.clip(iy, 0, hgt - 1)
+    cell = jnp.where(jnp.isfinite(cell), cell, jnp.inf)
+    order = jnp.argsort(cell)
+    inv = jnp.argsort(order)
+
+    def fwd(a):
+        return jnp.take(a, order, axis=-1)
+
+    def bwd(a):
+        return jnp.take(a, inv, axis=-1)
+
+    carry, (hist, ugs, vgs, iters, nfev) = _rk45_group_chunk(
+        bg, fwd(y), fwd(t), fwd(h), fwd(f), fwd(prev_lon), fwd(prev_lat),
+        bounds, cut_off, rtol, atol, min_step, max_iters,
+    )
+    y2, t2, h2, f2, pl2, pa2 = carry
+    return (bwd(y2), bwd(t2), bwd(h2), bwd(f2), bwd(pl2), bwd(pa2)), (
+        bwd(hist), bwd(ugs), bwd(vgs), iters, nfev
+    )
+
+
 def initial_step_sizes(bg, y0, rtol, atol):
     """Per-ray initial h for the adaptive solver (reference rkf45.py:34-99)."""
 
