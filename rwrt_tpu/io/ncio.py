@@ -239,3 +239,39 @@ def load_trajectories(path: str) -> Dict[str, np.ndarray]:
         raise RuntimeError("netCDF4 not installed; use the .npz format")
     with _nc.Dataset(path) as ds:  # pragma: no cover
         return {k: np.asarray(v[:]) for k, v in ds.variables.items()}
+
+
+def write_wavenumber_maps(maps, bs, zwn, path: str) -> None:
+    """Write the grid-wide wavenumber diagnostics (diagnostics/wavenumber.py)
+    -- the Hoskins & Ambrizzi-style stationary/non-stationary wavenumber map
+    product the reference's WN class was built for (reference wn.py:21-46)."""
+    data = {
+        "mwn": np.asarray(maps.mwn),
+        "rootnum": np.asarray(maps.rootnum),
+        "ug": np.asarray(maps.ug),
+        "vg": np.asarray(maps.vg),
+        "KS": np.asarray(bs.ks),
+    }
+    lon_deg = np.asarray(bs.lon) * rad2deg
+    lat_deg = np.asarray(bs.lat) * rad2deg
+    if _is_npz(path) or not HAVE_NETCDF:
+        if not _is_npz(path):
+            path = str(path) + ".npz"
+        np.savez_compressed(path, lon=lon_deg, lat=lat_deg,
+                            zwn=np.asarray(zwn), **data)
+        return
+    with _nc.Dataset(path, "w", format="NETCDF4") as ds:  # pragma: no cover
+        nlon, nlat, nzwn, nroot = data["mwn"].shape
+        for name, n in (("lon", nlon), ("lat", nlat), ("zwn", nzwn),
+                        ("root", nroot)):
+            ds.createDimension(name, n)
+        ds.createVariable("lon", "f8", ("lon",))[:] = lon_deg
+        ds.createVariable("lat", "f8", ("lat",))[:] = lat_deg
+        ds.createVariable("zwn", "f8", ("zwn",))[:] = np.asarray(zwn)
+        for name in ("mwn", "ug", "vg"):
+            ds.createVariable(name, "f8", ("lon", "lat", "zwn", "root"),
+                              zlib=True, complevel=4)[:] = data[name]
+        ds.createVariable("rootnum", "i4", ("lon", "lat", "zwn"))[:] = (
+            data["rootnum"]
+        )
+        ds.createVariable("KS", "f8", ("lon", "lat"))[:] = data["KS"]

@@ -416,6 +416,11 @@ def trace_rays(
     def reshape(a):
         return a[..., :n_rays].reshape(out_shape)
 
+    return _traj_from(ys, ugs, vgs, reshape)
+
+
+def _traj_from(ys, ugs, vgs, reshape):
+
     return RayTrajectories(
         lon=reshape(ys[:, S_LON]),
         lat=reshape(ys[:, S_LAT]),
@@ -425,3 +430,53 @@ def trace_rays(
         ug=reshape(ugs),
         vg=reshape(vgs),
     )
+
+
+def trace_rays_ensemble(bs_members, config: RunConfig,
+                        source_lon=None, source_lat=None):
+    """Ensemble sweep over multiple background states (BASELINE.json config
+    5: e.g. one member per reanalysis year): one extra vmapped axis over the
+    stacked background pytrees; results identical to per-member trace_rays
+    runs (tests/test_time_varying.py).
+
+    All members must share grid shape and dtype. Returns a list of
+    RayTrajectories, one per member (currently rk4 only; for the adaptive
+    solver run members separately -- the while_loop trip count would be the
+    max over members, wasting the faster ones).
+    """
+    if config.integrator != "rk4":
+        raise NotImplementedError(
+            "ensemble vmap is rk4-only; run adaptive members separately"
+        )
+    config.validate()
+    dtype = bs_members[0].fields.dtype
+    if source_lon is None:
+        source_lon, source_lat = source_matrix(
+            config.sw_lon, config.sw_lat, config.dlon, config.dlat,
+            config.nnx, config.nny,
+        )
+    source_lon = jnp.asarray(source_lon, dtype)
+    source_lat = jnp.asarray(source_lat, dtype)
+    zwn = jnp.asarray(config.zwn_array(), dtype)
+
+    bgs = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[make_background(m, config.freq) for m in bs_members],
+    )
+    nt = config.nt
+    dt = jnp.asarray(config.tstep, dtype)
+    cut_off = jnp.asarray(config.cut_off_rad, dtype)
+
+    def run_one(bg):
+        y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+        return _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
+
+    ys, ugs, vgs = jax.vmap(run_one)(bgs)
+    nsource = source_lon.shape[0]
+    out_shape = (nt, 3, nsource, len(config.zwn))
+    out = []
+    for i in range(len(bs_members)):
+        out.append(_traj_from(
+            ys[i], ugs[i], vgs[i], lambda a: a.reshape(out_shape)
+        ))
+    return out

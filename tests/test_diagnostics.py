@@ -182,3 +182,32 @@ def test_termination_report(small_traj):
     assert (rep.death_step >= -1).all() and (rep.death_step <= nt).all()
     assert sum(rep.counts.values()) == total
     assert 0.0 <= rep.alive_frac[-1] <= 1.0
+
+
+def test_ensemble_api(jet_field):
+    from rwrt_tpu.tracer import trace_rays_ensemble
+
+    u, v, lat, lon = jet_field
+    members = [rt.prepare(s * u, v, lat, lon, cal_dtype="float64")
+               for s in (0.9, 1.1)]
+    cfg = RunConfig(zwn=(3.0,), sw_lon=0.0, sw_lat=15.0, dlon=90.0, dlat=5.0,
+                    nnx=2, nny=2, tstep=2 * 3600.0, ttotal=2 * 86400.0,
+                    integrator="rk4", cal_dtype="float64")
+    ens = trace_rays_ensemble(members, cfg)
+    sep = [rt.trace_rays(m, cfg) for m in members]
+    for a, b in zip(ens, sep):
+        np.testing.assert_allclose(np.asarray(a.lat), np.asarray(b.lat),
+                                   rtol=0, atol=1e-12, equal_nan=True)
+
+
+def test_write_wavenumber_maps(tmp_path, bs):
+    from rwrt_tpu.io import ncio
+
+    zwn = np.array([2.0, 4.0])
+    maps = compute_wavenumber_maps(bs, zwn)
+    path = str(tmp_path / "wn.npz")
+    ncio.write_wavenumber_maps(maps, bs, zwn, path)
+    with np.load(path) as ds:
+        assert ds["mwn"].shape == (bs.nlon, bs.nlat, 2, 3)
+        assert ds["KS"].shape == (bs.nlon, bs.nlat)
+        assert "rootnum" in ds.files
