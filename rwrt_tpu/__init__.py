@@ -8,13 +8,14 @@ ray batch.
 """
 
 from rwrt_tpu.config import RunConfig
-from rwrt_tpu.models.basic_state import BasicState, prepare
+from rwrt_tpu.models.basic_state import BasicState, prepare, regrid_to_uniform
 from rwrt_tpu.tracer import RayTrajectories, source_matrix, trace_rays
 
 __all__ = [
     "RunConfig",
     "BasicState",
     "prepare",
+    "regrid_to_uniform",
     "RayTrajectories",
     "source_matrix",
     "trace_rays",

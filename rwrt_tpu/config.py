@@ -45,6 +45,12 @@ class RunConfig:
     interval_batch: int = 16
     # Displacement kill threshold, radians per tstep-hour (wr.py:170).
     cut_off: float = 0.1
+    # Root-slot layout of the output arrays: 'canonical' sorts the initial
+    # meridional-wavenumber roots (non-negative first, by |m|; stable and
+    # backend-independent) while 'fortran' applies the reference's
+    # change_roots_order shuffle + reversal on top (reference bs.py:942-982)
+    # so output files are slot-comparable with reference runs.
+    root_order: str = "canonical"
     # Background handling.
     xcyclic: bool = True
     # dtypes: read (ingest) and compute.
@@ -77,6 +83,8 @@ class RunConfig:
     def validate(self) -> "RunConfig":
         if self.integrator not in ("rk4", "rk45"):
             raise ValueError(f"unknown integrator {self.integrator!r}")
+        if self.root_order not in ("canonical", "fortran"):
+            raise ValueError(f"unknown root_order {self.root_order!r}")
         if self.nnx * self.nny < 1:
             raise ValueError("empty source matrix")
         if self.sw_lat + (self.nny - 1) * self.dlat > 89.0:

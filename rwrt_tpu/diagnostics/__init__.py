@@ -2,13 +2,19 @@
 termination accounting."""
 
 from rwrt_tpu.diagnostics.flux import (
+    RegionStatistics,
     WaveRayFlux,
     region_mask,
+    region_statistics,
     threshold_filter,
     wave_ray_flux,
 )
 from rwrt_tpu.diagnostics.spectral import shsf, spectral_filter
-from rwrt_tpu.diagnostics.termination import TerminationReport, analyze
+from rwrt_tpu.diagnostics.termination import (
+    TerminationReport,
+    analyze,
+    classify,
+)
 from rwrt_tpu.diagnostics.wavenumber import (
     WavenumberMaps,
     compute_wavenumber_maps,
@@ -17,9 +23,10 @@ from rwrt_tpu.diagnostics.wavenumber import (
 )
 
 __all__ = [
-    "WaveRayFlux", "region_mask", "threshold_filter", "wave_ray_flux",
+    "WaveRayFlux", "RegionStatistics", "region_mask", "region_statistics",
+    "threshold_filter", "wave_ray_flux",
     "shsf", "spectral_filter",
-    "TerminationReport", "analyze",
+    "TerminationReport", "analyze", "classify",
     "WavenumberMaps", "compute_wavenumber_maps",
     "fill_nan_neighborhood_mean", "turning_critical_masks",
 ]

@@ -1,63 +1,114 @@
 """Along-ray Li-Yang wave-ray flux (WRF) diagnostics.
 
-Counterpart of the reference's WRF postprocessor, which is described in the
-manual (section 4) but ABSENT from the reference snapshot (SURVEY.md C22):
-``Fun1_threshold`` (threshold filtering of the ray output),
-``Fun2_region_threshold`` (target-region selection), ``Fun3_WRF_calculate``
-(flux statistics over a -360..720 degree longitude span), and the driver
-``WRF_universal``. This module provides the equivalent pipeline over
-RayTrajectories, implemented as fused device-side scatter-adds:
+Counterpart of the reference's WRF postprocessor, which is ABSENT from the
+reference snapshot (SURVEY.md C22); the authoritative specification is the
+bundled manual, section 4 ("How to use the wave ray flux program", full text
+extracted from both the English and Chinese docx), which describes the
+pipeline functionally:
 
-- ``threshold_filter``: drop ray points whose WKB amplitude is below a
-  threshold (or above a blow-up cap) -- rays carry amp from the ray equations.
-- ``region_mask``: per-ray flag for rays that pass through a target
-  lon/lat box at any time.
-- ``wave_ray_flux``: accumulate amplitude-weighted group-velocity flux
-  (F = A * cg, the wave-action flux of WKB theory) and ray-density counts on
-  a regular diagnostic grid whose longitude axis spans -360..720 degrees so
-  that rays wrapping the globe up to once in either direction are kept
-  distinct, following the manual's convention.
+- ``Fun1_threshold``: "Extracts variables from wave-ray calculation results,
+  sets truncation velocity thresholds, and removes abnormal wavenumber data
+  (the latter two are optional parameters)." -> ``threshold_filter`` with
+  optional group-speed bounds and a meridional-wavenumber cap.
+- ``Fun2_region_threshold``: "Selects wave rays passing through the desired
+  target region." -> ``region_mask``.
+- ``Fun3_WRF_calculate``: "Calculates the Li-Yang WRF. ... it can calculate
+  additional variables such as the average propagation time, average speed,
+  and wave sources for wave rays passing through target areas."
+  -> ``wave_ray_flux`` (the gridded flux maps) + ``region_statistics`` (the
+  per-target-region aggregates).
+- "the Li-Yang WRF calculation scope covers three longitude circles (from
+  -360 deg to 720 deg)" -> the unwrapped longitude axis of the flux grid.
+
+The manual defines the pipeline but NOT the flux integrand (that lives in
+Yang & Li 2025, not part of the snapshot), so the cell weighting is explicit
+and selectable here: ``weight='count'`` (ray-passage density with unit
+direction vectors -- activity direction statistics), ``'cg'`` (group-velocity
+flux), or ``'amp_cg'`` (WKB amplitude-weighted group-velocity flux, an
+action-flux analogue). All three share the manual's thresholds, region logic,
+and longitude bookkeeping.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from rwrt_tpu.constants import deg2rad, pi
+from rwrt_tpu.constants import deg2rad, pi, rearth
 from rwrt_tpu.tracer import RayTrajectories
 
 
 class WaveRayFlux(NamedTuple):
     """Accumulated flux maps on the diagnostic grid.
 
-    lon_edges/lat_edges in degrees; maps shaped (nlon_bins, nlat_bins).
+    lon_centers spans -360..720 degrees (the manual's three-circle scope);
+    maps shaped (nlon_bins, nlat_bins).
     """
 
     lon_centers: jnp.ndarray
     lat_centers: jnp.ndarray
-    flux_u: jnp.ndarray    # sum of amp * ug per cell
-    flux_v: jnp.ndarray    # sum of amp * vg per cell
-    amp_sum: jnp.ndarray   # sum of amp per cell
+    flux_u: jnp.ndarray    # sum of w * ug_hat per cell (see `weight`)
+    flux_v: jnp.ndarray    # sum of w * vg_hat per cell
+    amp_sum: jnp.ndarray   # sum of |amp| per cell
     count: jnp.ndarray     # ray-point count per cell
 
 
-def threshold_filter(traj: RayTrajectories, amp_min: float = 0.0,
-                     amp_max: float = jnp.inf) -> jnp.ndarray:
-    """Per-point validity mask (Fun1_threshold equivalent)."""
+class RegionStatistics(NamedTuple):
+    """Aggregates over rays passing through a target region (the manual's
+    Fun3 extras: average propagation time, average speed, wave sources)."""
+
+    n_passing: int
+    mean_entry_time: float      # seconds to first entry (entry-at-seed = 0)
+    mean_speed: float           # m/s along-path up to first entry
+    first_entry_step: np.ndarray  # (3, nsource, nzwn); -1 = never enters
+    source_lon: np.ndarray      # seeds of passing rays, radians
+    source_lat: np.ndarray
+
+
+def threshold_filter(
+    traj: RayTrajectories,
+    amp_min: float = 0.0,
+    amp_max: float = jnp.inf,
+    speed_min: Optional[float] = None,
+    speed_max: Optional[float] = None,
+    mwn_max: Optional[float] = None,
+) -> jnp.ndarray:
+    """Per-point validity mask (Fun1_threshold).
+
+    The manual's two optional Fun1 parameters are the truncation group-speed
+    threshold (``speed_min``/``speed_max``, m/s -- points whose group speed
+    |cg| falls outside are dropped) and the abnormal-wavenumber filter
+    (``mwn_max`` -- points with |m| >= mwn_max are dropped). Amplitude bounds
+    are an additional knob with permissive defaults.
+    """
     amp = jnp.abs(traj.amp)
-    return (
+    valid = (
         jnp.isfinite(traj.lon) & jnp.isfinite(traj.lat)
         & jnp.isfinite(traj.amp) & (amp >= amp_min) & (amp <= amp_max)
     )
+    if speed_min is not None or speed_max is not None:
+        speed = jnp.sqrt(traj.ug ** 2 + traj.vg ** 2)
+        if speed_min is not None:
+            valid = valid & (speed >= speed_min)
+        if speed_max is not None:
+            valid = valid & (speed <= speed_max)
+    if mwn_max is not None:
+        valid = valid & (jnp.abs(traj.ky) < mwn_max)
+    return valid
 
 
 def region_mask(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
     """True for rays that enter the target box at any time
-    (Fun2_region_threshold equivalent). Returns (3, nsource, nzwn)."""
+    (Fun2_region_threshold). Returns (3, nsource, nzwn)."""
+    return jnp.any(_in_box(traj, lon_range, lat_range), axis=0)
+
+
+def _in_box(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
+    """(nt, 3, nsource, nzwn) bool: finite point inside the target box."""
     lon_deg = (traj.lon / deg2rad) % 360.0
     lat_deg = traj.lat / deg2rad
     lo0, lo1 = lon_range[0] % 360.0, lon_range[1] % 360.0
@@ -66,7 +117,70 @@ def region_mask(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
     else:  # box crossing the date line
         in_lon = (lon_deg >= lo0) | (lon_deg <= lo1)
     in_box = in_lon & (lat_deg >= lat_range[0]) & (lat_deg <= lat_range[1])
-    return jnp.any(in_box & jnp.isfinite(traj.lon), axis=0)
+    return in_box & jnp.isfinite(traj.lon) & jnp.isfinite(traj.lat)
+
+
+def region_statistics(
+    traj: RayTrajectories,
+    lon_range,
+    lat_range,
+    tstep: float,
+    source_lon=None,
+    source_lat=None,
+) -> RegionStatistics:
+    """Fun3's target-region aggregates: how many rays reach the box, the
+    average propagation time to first entry, the average along-path speed up
+    to entry (great-circle path length / entry time; rays seeded inside the
+    box are excluded from the speed average), and the seed positions of the
+    passing rays.
+    """
+    in_box = np.asarray(_in_box(traj, lon_range, lat_range))
+    nt = in_box.shape[0]
+    passes = in_box.any(axis=0)
+    first = np.where(passes, in_box.argmax(axis=0), -1)
+
+    lon = np.asarray(traj.lon)
+    lat = np.asarray(traj.lat)
+    # Great-circle hop lengths between consecutive saved points (radians).
+    dlon = lon[1:] - lon[:-1]
+    dlat = lat[1:] - lat[:-1]
+    a = (np.sin(dlat / 2.0) ** 2
+         + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2.0) ** 2)
+    a = np.clip(a, 0.0, 1.0)
+    hop = 2.0 * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
+    hop = np.where(np.isfinite(hop), hop, 0.0)
+    # Path length up to each step: cumulative sum with a zero row on top.
+    cum = np.concatenate([np.zeros((1,) + hop.shape[1:]), np.cumsum(hop, 0)])
+
+    entered = passes & (first > 0)
+    times = first[entered] * tstep
+    steps = np.clip(first, 0, nt - 1)
+    path = np.take_along_axis(cum, steps[None], axis=0)[0]
+    speeds = path[entered] * rearth / np.maximum(times, 1e-30)
+
+    n_passing = int(passes.sum())
+    mean_entry_time = (
+        float((first[passes] * tstep).mean()) if n_passing else float("nan")
+    )
+    mean_speed = float(speeds.mean()) if entered.any() else float("nan")
+
+    if source_lon is None:
+        src_lon = lon[0]
+        src_lat = lat[0]
+    else:
+        shape = passes.shape
+        src_lon = np.broadcast_to(
+            np.asarray(source_lon)[None, :, None], shape)
+        src_lat = np.broadcast_to(
+            np.asarray(source_lat)[None, :, None], shape)
+    return RegionStatistics(
+        n_passing=n_passing,
+        mean_entry_time=mean_entry_time,
+        mean_speed=mean_speed,
+        first_entry_step=first,
+        source_lon=np.asarray(src_lon)[passes],
+        source_lat=np.asarray(src_lat)[passes],
+    )
 
 
 def _unwrap_lon(lon_rad: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +188,8 @@ def _unwrap_lon(lon_rad: jnp.ndarray) -> jnp.ndarray:
 
     Starts in [0, 2*pi) and accumulates increments mapped to (-pi, pi], so a
     ray circling the globe keeps increasing/decreasing past 360 deg. Output is
-    clipped to the manual's -360..720 degree bookkeeping span.
+    clipped to the manual's -360..720 degree bookkeeping span ("three
+    longitude circles").
     """
     base = lon_rad % (2.0 * pi)
     d = jnp.diff(base, axis=0)
@@ -87,23 +202,35 @@ def _unwrap_lon(lon_rad: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(unwrapped, -2.0 * pi, 4.0 * pi)
 
 
-@functools.partial(jax.jit, static_argnames=("nlon_bins", "nlat_bins"))
+@functools.partial(jax.jit, static_argnames=("nlon_bins", "nlat_bins",
+                                             "weight"))
 def _accumulate(lon_u_deg, lat_deg, amp, ug, vg, valid,
-                nlon_bins: int, nlat_bins: int):
+                nlon_bins: int, nlat_bins: int, weight: str):
     dlon = 1080.0 / nlon_bins
     dlat = 180.0 / nlat_bins
     ix = jnp.clip(((lon_u_deg + 360.0) / dlon).astype(jnp.int32), 0, nlon_bins - 1)
     iy = jnp.clip(((lat_deg + 90.0) / dlat).astype(jnp.int32), 0, nlat_bins - 1)
     flat = ix * nlat_bins + iy
     w = jnp.where(valid, 1.0, 0.0)
-    amp_w = jnp.where(valid, amp, 0.0)
+    amp_w = jnp.where(valid, jnp.abs(amp), 0.0)
+
+    if weight == "count":
+        speed = jnp.sqrt(ug * ug + vg * vg)
+        safe = jnp.where(speed > 0, speed, 1.0)
+        wu, wv = ug / safe, vg / safe
+    elif weight == "cg":
+        wu, wv = ug, vg
+    elif weight == "amp_cg":
+        wu, wv = amp * ug, amp * vg
+    else:
+        raise ValueError(f"unknown weight {weight!r}")
 
     def scat(vals):
         out = jnp.zeros(nlon_bins * nlat_bins, vals.dtype)
         return out.at[flat.reshape(-1)].add(vals.reshape(-1))
 
-    fu = scat(jnp.where(valid, amp * ug, 0.0))
-    fv = scat(jnp.where(valid, amp * vg, 0.0))
+    fu = scat(jnp.where(valid, wu, 0.0))
+    fv = scat(jnp.where(valid, wv, 0.0))
     asum = scat(amp_w)
     cnt = scat(w)
     shape = (nlon_bins, nlat_bins)
@@ -116,15 +243,22 @@ def wave_ray_flux(
     nlat_bins: int = 90,
     amp_min: float = 0.0,
     amp_max: float = float("inf"),
+    speed_min: Optional[float] = None,
+    speed_max: Optional[float] = None,
+    mwn_max: Optional[float] = None,
     lon_range=None,
     lat_range=None,
+    weight: str = "amp_cg",
 ) -> WaveRayFlux:
-    """Accumulate Li-Yang wave-ray flux maps (Fun3/WRF_universal equivalent).
+    """Accumulate Li-Yang wave-ray flux maps (Fun3/WRF_universal pipeline:
+    Fun1 thresholds -> optional Fun2 region selection -> gridded flux).
 
-    The longitude axis spans -360..720 degrees (manual section 4 convention)
-    binned into nlon_bins cells; latitude spans -90..90.
+    The longitude axis spans -360..720 degrees (manual section 4's three
+    longitude circles) binned into nlon_bins cells; latitude spans -90..90.
+    ``weight`` selects the cell integrand (see module docstring).
     """
-    valid = threshold_filter(traj, amp_min, amp_max)
+    valid = threshold_filter(traj, amp_min, amp_max, speed_min, speed_max,
+                             mwn_max)
     if lon_range is not None and lat_range is not None:
         keep_ray = region_mask(traj, lon_range, lat_range)
         valid = valid & keep_ray[None]
@@ -133,7 +267,7 @@ def wave_ray_flux(
     lat_deg = traj.lat / deg2rad
     fu, fv, asum, cnt = _accumulate(
         lon_u, lat_deg, traj.amp, traj.ug, traj.vg, valid,
-        nlon_bins, nlat_bins,
+        nlon_bins, nlat_bins, weight,
     )
     dlon = 1080.0 / nlon_bins
     dlat = 180.0 / nlat_bins

@@ -78,8 +78,8 @@ def load_wind(path: str, read_dtype="float32") -> Tuple[np.ndarray, np.ndarray,
     nlat, nlon = u.shape[-2], u.shape[-1]
     if lat is None or lon is None:
         print(
-            "###WARNING: lon and lat not found. Make sure your lats are from "
-            "90S to 90N and lons are from 0E to 360E###"
+            "WARNING: no lat/lon coordinate variables in the input; assuming "
+            "a regular global grid (lat 90S..90N, lon 0E..360E)"
         )
     if lat is None:
         lat = -90.0 + np.arange(nlat) * (180.0 / (nlat - 1))

@@ -81,6 +81,96 @@ class BasicState(NamedTuple):
         return pi / (self.nlat - 1)
 
 
+def _check_uniform_axis(coord: np.ndarray, step: float, name: str,
+                        expect: str) -> None:
+    """Refuse non-uniform or partial-coverage coordinate axes loudly.
+
+    The whole device pipeline (FD gradients, fractional-index bilinear
+    sampling) assumes the uniform global grid spacing dx = 2*pi/nlon,
+    dy = pi/(nlat-1) that the reference hard-codes (reference bs.py:77-78 and
+    its hot interpolation path, interpolation.py:78-80). The reference's
+    scalar path supports any monotonic axis via searchsorted
+    (interpolation.py:306-323); here a Gaussian or regional grid must be
+    regridded first (see ``regrid_to_uniform``) instead of silently producing
+    wrong physics.
+    """
+    if not np.all(np.diff(coord) > 0):
+        raise ValueError(
+            f"{name} must be strictly ascending (reference dmonoinc, "
+            "interpolation.py:25-34; ncio.load_wind flips descending grids "
+            "automatically)"
+        )
+    spacing = np.diff(coord)
+    tol = 1e-5 * step
+    if np.any(np.abs(spacing - step) > tol):
+        raise ValueError(
+            f"{name} axis is not the uniform {expect} grid the compute "
+            f"pipeline assumes: spacing spans [{spacing.min():.3e}, "
+            f"{spacing.max():.3e}] rad but the pipeline uses {step:.3e} rad. "
+            "Regrid first: basic_state.regrid_to_uniform(u, v, lat, lon)."
+        )
+
+
+def regrid_to_uniform(u, v, lat, lon, nlat=None, nlon=None):
+    """Bilinearly regrid winds from any monotonic grid onto the uniform grid.
+
+    Host-side, one-time preprocessing for inputs that `prepare` refuses
+    (Gaussian reanalysis grids, regional subsets, ...). Interval lookup uses
+    searchsorted on the actual monotonic axes -- the semantics of the
+    reference's scalar interpolation path (reference interpolation.py:306-323)
+    -- and the longitude axis is treated as cyclic.
+
+    Args:
+      u, v: (nlon_in, nlat_in) winds on the source grid.
+      lat, lon: source coordinates in radians, ascending.
+      nlat, nlon: target resolution; defaults to the source counts (nlat
+        forced odd so the equator is a grid row, matching pole-to-pole
+        spacing pi/(nlat-1)).
+
+    Returns:
+      (u_out, v_out, lat_out, lon_out) on the uniform global grid.
+    """
+    u = np.asarray(u)
+    v = np.asarray(v)
+    lat = np.asarray(lat, np.float64)
+    lon = np.asarray(lon, np.float64)
+    if nlat is None:
+        nlat = lat.shape[0] if lat.shape[0] % 2 == 1 else lat.shape[0] + 1
+    if nlon is None:
+        nlon = lon.shape[0]
+    lat_out = -0.5 * pi + np.arange(nlat) * (pi / (nlat - 1))
+    lon_out = np.arange(nlon) * (2.0 * pi / nlon)
+
+    # Cyclic extension in lon so targets beyond the last source column
+    # interpolate across the wrap (reference interpolation.py:283-299).
+    lon_ext = np.concatenate([lon, lon[:1] + 2.0 * pi])
+
+    def interp_axis(coord, targets):
+        """Interval index + fractional weight, clamped at the ends."""
+        i0 = np.clip(np.searchsorted(coord, targets, side="right") - 1,
+                     0, coord.shape[0] - 2)
+        wgt = (targets - coord[i0]) / (coord[i0 + 1] - coord[i0])
+        return i0, np.clip(wgt, 0.0, 1.0)
+
+    jx, wx = interp_axis(lon_ext, np.where(lon_out < lon[0],
+                                           lon_out + 2.0 * pi, lon_out))
+    jy, wy = interp_axis(lat, np.clip(lat_out, lat[0], lat[-1]))
+    jx1 = jx + 1
+
+    def regrid(f):
+        f_ext = np.concatenate([f, f[:1]], axis=0)
+        c00 = f_ext[jx[:, None], jy[None, :]]
+        c10 = f_ext[jx1[:, None], jy[None, :]]
+        c01 = f_ext[jx[:, None], jy[None, :] + 1]
+        c11 = f_ext[jx1[:, None], jy[None, :] + 1]
+        wxg = wx[:, None]
+        wyg = wy[None, :]
+        return ((1 - wxg) * (1 - wyg) * c00 + wxg * (1 - wyg) * c10
+                + (1 - wxg) * wyg * c01 + wxg * wyg * c11)
+
+    return regrid(u), regrid(v), lat_out, lon_out
+
+
 # xcyclic changes output shapes -> static argument.
 @functools.partial(jax.jit, static_argnames=("xcyclic",))
 def _prepare_jit(u, v, lat, dx, dy, xcyclic: bool):
@@ -156,16 +246,14 @@ def prepare(
     if nlon < 2 or nlat < 2:
         raise ValueError("need at least 2 points per axis")  # reference
         # interpolation.py:269-277 (not enough points / dmonoinc checks)
-    if lat is not None:
-        lat_np = np.asarray(lat)
-        if not np.all(np.diff(lat_np) > 0):
-            raise ValueError(
-                "lat must be strictly ascending (reference dmonoinc, "
-                "interpolation.py:25-34; ncio.load_wind flips descending "
-                "grids automatically)"
-            )
     dx = 2.0 * pi / nlon
     dy = pi / (nlat - 1)
+    if lat is not None:
+        _check_uniform_axis(np.asarray(lat), dy, "lat",
+                            "pole-to-pole (nlat-1 equal steps of pi/(nlat-1))")
+    if lon is not None:
+        _check_uniform_axis(np.asarray(lon), dx, "lon",
+                            "global (nlon equal steps of 2*pi/nlon)")
     if lat is None:
         lat = -pi * 0.5 + np.arange(nlat) * dy
     if lon is None:
@@ -209,6 +297,12 @@ def prepare_time_varying(
     tdim, nlon, nlat = u.shape
     dx = 2.0 * pi / nlon
     dy = pi / (nlat - 1)
+    if lat is not None:
+        _check_uniform_axis(np.asarray(lat), dy, "lat",
+                            "pole-to-pole (nlat-1 equal steps of pi/(nlat-1))")
+    if lon is not None:
+        _check_uniform_axis(np.asarray(lon), dx, "lon",
+                            "global (nlon equal steps of 2*pi/nlon)")
     if lat is None:
         lat = -pi * 0.5 + np.arange(nlat) * dy
     if lon is None:

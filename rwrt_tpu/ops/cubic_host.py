@@ -76,3 +76,69 @@ def solve_roots(coeffs: np.ndarray, backend: str = "native") -> np.ndarray:
     if backend == "numpy":
         return roots_numpy(coeffs)
     raise ValueError(f"unknown backend {backend!r}")
+
+
+def initial_roots_reference_order(fmu, fmv, fmqx, fmqy, freq, zwn):
+    """Initial meridional-wavenumber roots in the reference's exact slot
+    layout (``RunConfig.root_order == 'fortran'``).
+
+    Replicates cal_ky_numpy with the np.roots backend plus
+    change_roots_order (reference bs.py:985-1040, 942-982) verbatim: the
+    reference's slot layout depends on the eigenvalue ordering LAPACK emits
+    inside np.roots (change_roots_order is NOT permutation-invariant), so
+    slot-exact parity with reference output files is only achievable by
+    calling np.roots itself. This runs once on host at initialization -- the
+    device hot path is untouched.
+
+    Args:
+      fmu, fmv, fmqx, fmqy: (nsource,) Mercator background at the sources.
+      freq: scalar wave frequency (rad/s).
+      zwn: (nzwn,) initial zonal wavenumbers.
+
+    Returns:
+      (nsource, nzwn, 3) roots, NaN-padded, reference slot order.
+    """
+    import jax.numpy as jnp
+
+    from rwrt_tpu.constants import delt, rearth
+    from rwrt_tpu.ops.cubic import fortran_slot_order
+
+    fmu = np.asarray(fmu, np.float64)
+    fmv = np.asarray(fmv, np.float64)
+    fmqx = np.asarray(fmqx, np.float64)
+    fmqy = np.asarray(fmqy, np.float64)
+    zwn = np.asarray(zwn, np.float64)
+    ns, nz = fmu.shape[0], zwn.shape[0]
+    raw = np.full((ns, nz, 3), np.nan)   # np.roots emission order
+    counts = np.zeros((ns, nz), np.int32)
+    for zi, k in enumerate(zwn):
+        if k == 0.0:
+            continue
+        ps = freq / k * rearth
+        # Highest-first coefficient stack (reference bs.py:1006-1011).
+        coeff_ = np.stack([
+            (k ** 3) * (fmu - ps - fmqy / k ** 2),
+            (k ** 2) * fmv + fmqx,
+            k * (fmu - ps),
+            fmv,
+        ], axis=-1)
+        for si in range(ns):
+            coeff = coeff_[si]
+            # Exact-zero trailing-entry reduction (bs.py:1017-1021 -- the
+            # reference's numpy dialect tests == 0, not < delt).
+            deg = 3
+            while deg > 0 and abs(coeff[deg]) == 0:
+                deg -= 1
+            if deg < 1 or np.any(~np.isfinite(coeff[: deg + 1])):
+                continue
+            # roots_(coeff[::-1] + 0j) with the numpy backend (bs.py:1029).
+            r = np.roots(coeff[: deg + 1][::-1].astype(np.complex128))
+            real = [x.real for x in r if abs(x.imag) < delt]
+            raw[si, zi, : min(len(real), 3)] = real[:3]
+            counts[si, zi] = len(real)
+    # The slot shuffle itself is the (golden-tested) vectorized
+    # fortran_slot_order; the |m| > 100 NaN filter runs AFTER the swaps in
+    # the reference (bs.py:978-981), equivalently applied after the reversal
+    # here since it is elementwise.
+    out = np.asarray(fortran_slot_order(jnp.asarray(raw), jnp.asarray(counts)))
+    return np.where(np.abs(out) > 100.0, np.nan, out)

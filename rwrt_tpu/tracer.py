@@ -87,6 +87,7 @@ def initialize(
     source_lon: jnp.ndarray,
     source_lat: jnp.ndarray,
     zwn: jnp.ndarray,
+    root_order: str = "canonical",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Initial state for all 3*nsource*nzwn rays (reference wr.py:344-395).
 
@@ -94,6 +95,14 @@ def initialize(
     (source, zwn) come from the dispersion cubic; amp = 1 where the root
     exists else NaN; initial (ug, vg) use the zero-invalid semantics
     (reference wr.py:393-395 -> wn.py:209-259).
+
+    root_order: 'canonical' (sorted; see ops/cubic.py) or 'fortran': the
+    reference's exact slot layout, reproduced by running np.roots +
+    change_roots_order on host at init (ops/cubic_host.py
+    initial_roots_reference_order) -- the layout depends on LAPACK's
+    eigenvalue ordering, which the device solver cannot reproduce
+    (change_roots_order is not permutation-invariant). One-time host cost;
+    requires concrete (non-traced) inputs.
 
     Returns:
       y0: (5, R) state, R = 3*nsource*nzwn flattened from (3, nsource, nzwn).
@@ -108,11 +117,20 @@ def initialize(
     fmu, fmv = f[interp.M_U], f[interp.M_V]
     fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
 
-    # Broadcast (nsource, nzwn) point x wavenumber grid.
-    roots, _ = solve_dispersion_cubic(
-        fmu[:, None], fmv[:, None], fmqx[:, None], fmqy[:, None],
-        bg.freq, zwn[None, :],
-    )  # (nsource, nzwn, 3)
+    if root_order == "fortran":
+        from rwrt_tpu.ops.cubic_host import initial_roots_reference_order
+
+        roots = jnp.asarray(initial_roots_reference_order(
+            fmu, fmv, fmqx, fmqy, float(bg.freq), zwn
+        ), bg.fields.dtype)  # (nsource, nzwn, 3)
+    elif root_order == "canonical":
+        # Broadcast (nsource, nzwn) point x wavenumber grid.
+        roots, _ = solve_dispersion_cubic(
+            fmu[:, None], fmv[:, None], fmqx[:, None], fmqy[:, None],
+            bg.freq, zwn[None, :],
+        )  # (nsource, nzwn, 3)
+    else:
+        raise ValueError(f"unknown root_order {root_order!r}")
     mwn = jnp.transpose(roots, (2, 0, 1))  # (3, nsource, nzwn)
 
     shape = (3, nsource, nzwn)
@@ -330,6 +348,119 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     return ys, ugs, vgs, iters, nfev
 
 
+def _ray_specs():
+    """PartitionSpecs for the standard per-lane array ranks."""
+    from jax.sharding import PartitionSpec as P
+
+    from rwrt_tpu.parallel.sharding import RAY_AXIS
+
+    return {
+        "lane": P(RAY_AXIS),             # (R,)
+        "l2": P(None, RAY_AXIS),         # (k, R)
+        "l3": P(None, None, RAY_AXIS),   # (k, m, R)
+        "shard": P(RAY_AXIS, None),      # per-shard scalars, (1, k) local
+        "rep": P(),
+    }
+
+
+def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
+                      min_step, group: int):
+    """Multi-chip adaptive run: shard_map over the 'rays' mesh axis, each
+    shard running its OWN while_loop over its lanes.
+
+    Under plain GSPMD the controller's ``jnp.any(~done)`` loop condition is a
+    global reduction over the sharded lane axis -- a cross-chip all-reduce
+    every iteration, coupling every shard to the globally slowest ray. Inside
+    shard_map the reduction is shard-local, so the compiled program contains
+    NO collectives (asserted by tests/test_shardmap.py) and each shard exits
+    its loop independently -- the TPU-native equivalent of the reference's
+    pending-subset controller (reference rkf45.py:375-514).
+
+    Results are bit-identical to the single-device run: every per-lane
+    quantity evolves independently, and the extra masked iterations a shard
+    may or may not execute are exact no-ops for finished lanes.
+
+    Returns (ys, ugs, vgs, iters, nfev) with iters/nfev shaped
+    (n_shards, n_chunks) -- per-shard device-loop counts (they differ; that
+    is the point).
+    """
+    sp = _ray_specs()
+
+    def local(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step):
+        if group > 1 and nt > 2:
+            ys, ugs, vgs, iters, nfev = _run_rk45_grouped(
+                bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+                group=group,
+            )
+        else:
+            ys, ugs, vgs, iters, nfev = _run_rk45(
+                bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step
+            )
+        return ys, ugs, vgs, iters.reshape(1, -1), nfev.reshape(1, -1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["rep"],
+                  sp["rep"], sp["rep"], sp["rep"], sp["rep"]),
+        out_specs=(sp["l3"], sp["l2"], sp["l2"], sp["shard"], sp["shard"]),
+    )
+    return jax.jit(fn)(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step)
+
+
+def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
+                               bounds, cut_off, rtol, atol, min_step):
+    """shard_map wrapper of _rk45_group_chunk (one chunk of the chunked
+    driver) -- same shard-local-loop property as _run_rk45_sharded."""
+    sp = _ray_specs()
+
+    def local(bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol, min_step):
+        (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev) = (
+            _rk45_group_chunk(bg, y, t, h, f, pl, pa, bounds, cut_off,
+                              rtol, atol, min_step)
+        )
+        return (y, t, h, f, pl, pa, hist, ugs, vgs,
+                iters.reshape(1), nfev.reshape(1))
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["l2"],
+                  sp["lane"], sp["lane"], sp["rep"], sp["rep"], sp["rep"],
+                  sp["rep"], sp["rep"]),
+        out_specs=(sp["l2"], sp["lane"], sp["lane"], sp["l2"], sp["lane"],
+                   sp["lane"], sp["l3"], sp["l2"], sp["l2"], sp["lane"],
+                   sp["lane"]),
+    )
+    y, t, h, f, pl, pa, hist, ugs, vgs, iters, nfev = jax.jit(fn)(
+        bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off, rtol, atol,
+        min_step,
+    )
+    return (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev)
+
+
+def _rk45_chunk_shardmap(mesh, bg, y, t, h, t_bounds, cut_off, rtol, atol,
+                         min_step):
+    """shard_map wrapper of the barrier-path _rk45_chunk."""
+    sp = _ray_specs()
+
+    def local(bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step):
+        (y, t, h), (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
+            bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
+        )
+        return y, t, h, ys, ugs, vgs, iters.reshape(1, -1), nfev.reshape(1, -1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["rep"],
+                  sp["rep"], sp["rep"], sp["rep"], sp["rep"]),
+        out_specs=(sp["l2"], sp["lane"], sp["lane"], sp["l3"], sp["l2"],
+                   sp["l2"], sp["shard"], sp["shard"]),
+    )
+    y, t, h, ys, ugs, vgs, iters, nfev = jax.jit(fn)(
+        bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
+    )
+    return (y, t, h), (ys, ugs, vgs, iters, nfev)
+
+
 def trace_rays(
     bs: BasicState,
     config: RunConfig,
@@ -365,7 +496,8 @@ def trace_rays(
     zwn = jnp.asarray(config.zwn_array(), dtype)
 
     bg = make_background(bs, config.freq)
-    y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+    y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn,
+                              config.root_order)
     if initial_state is not None:
         y0 = jnp.asarray(initial_state, dtype)
         if y0.shape != (5, 3 * source_lon.shape[0] * len(config.zwn)):
@@ -400,7 +532,7 @@ def trace_rays(
         rtol = rk45_mod.validate_tol(config.rtol, dtype)  # rkf45.py:21-26
         atol = jnp.asarray(config.atol, dtype)
         min_step = jnp.asarray(min_step, dtype)
-        if config.interval_batch > 1:
+        if config.interval_batch > 1 and nt > 2:
             ys, ugs, vgs, _, _ = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=min(config.interval_batch, nt - 1),

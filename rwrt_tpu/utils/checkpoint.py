@@ -85,7 +85,8 @@ def trace_rays_chunked(
     zwn = jnp.asarray(config.zwn_array(), dtype)
 
     bg = make_background(bs, config.freq)
-    y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+    y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn,
+                              config.root_order)
     if mesh is not None:
         from rwrt_tpu.parallel import sharding as sh
 
@@ -148,7 +149,11 @@ def trace_rays_chunked(
     from rwrt_tpu.models import ray as _ray_mod
 
     if config.integrator == "rk45":
-        f_carry, _ = jax.jit(_ray_mod.rhs)(bg, y, jnp.asarray(0.0, dtype))
+        # The FSAL invariant is f = rhs(y, t) at each ray's OWN time: for a
+        # time-varying background the RHS samples the background at t, so
+        # recomputing the carry at t=0 after a resume would evaluate the
+        # wrong frame for every ray. rhs broadcasts a per-ray t vector.
+        f_carry, _ = jax.jit(_ray_mod.rhs)(bg, y, t)
         prev_lon, prev_lat = y[0], y[1]
 
     lane_to_ray = np.arange(n_rays)
@@ -189,6 +194,16 @@ def trace_rays_chunked(
             prev_lon = perm(prev_lon)
             prev_lat = perm(prev_lat)
 
+    # Run-level death accounting (the TPU-native replacement for the
+    # reference's all-dead early exit, wr.py:735-736, and the RK45 'failed'
+    # status, rkf45.py:423-425): the history slices are already fetched to
+    # host every chunk, so checking costs nothing on device. "Born" keys on
+    # the initial amplitude -- rootless lanes keep a finite frozen position
+    # forever (matching the reference's numpy freeze semantics) and must not
+    # count as alive.
+    n_born = int(np.isfinite(np.asarray(y0[4])).sum())
+    all_dead_at: Optional[int] = None
+
     progress = Progress(nt - 1) if verbose else None
     step = start
     while step < nt:
@@ -218,9 +233,15 @@ def trace_rays_chunked(
             hist[k][step : step + n, lane_to_ray] = ys[:, i]
         hist["ug"][step : step + n, lane_to_ray] = np.asarray(ugs)
         hist["vg"][step : step + n, lane_to_ray] = np.asarray(vgs)
+        alive_per_step = np.isfinite(ys[:, 4]).sum(axis=1)
+        if n_born > 0 and alive_per_step[-1] == 0:
+            all_dead_at = step + int(np.argmax(alive_per_step == 0))
         step += n
         if progress:
-            progress.update(step - 1, ray_steps)
+            progress.update(
+                step - 1, ray_steps,
+                alive_frac=alive_per_step[-1] / max(n_born, 1),
+            )
         if checkpoint_path:
             # Persist the carry in ORIGINAL ray order so resume (which
             # recomputes f/prev and restarts the lane map) is order-free.
@@ -231,13 +252,35 @@ def trace_rays_chunked(
                 np.asarray(h)[inv] if h is not None else np.zeros(()),
                 {k: v[:step] for k, v in hist.items()},
             )
+        if all_dead_at is not None:
+            # Every born ray is dead: the remaining history is fully
+            # determined (NaN for dead rays; never-born rootless lanes stay
+            # frozen at their seed position forever, matching the freeze
+            # semantics of both integrators), so stop integrating (reference
+            # wr.py:735-736, 853-855) -- at chunk granularity, with no extra
+            # device syncs -- and fill the tail on host.
+            frozen = ~np.isfinite(np.asarray(y0[4]))
+            if frozen.any() and step < nt:
+                for i, k in enumerate(("lon", "lat", "kx")):
+                    hist[k][step:, frozen] = np.asarray(y0[i])[frozen][None]
+            if verbose:
+                print(f"\nall {n_born} born rays terminated by output step "
+                      f"{all_dead_at}; stopping early")
+            break
 
     nsource = source_lon.shape[0]
     out_shape = (nt, 3, nsource, len(config.zwn))
     r_orig = 3 * nsource * len(config.zwn)
-    return RayTrajectories(
+    traj = RayTrajectories(
         **{
             k: jnp.asarray(hist[k][:, :r_orig].reshape(out_shape))
             for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
         }
     )
+    if verbose:
+        from rwrt_tpu.diagnostics import termination
+
+        rep = termination.analyze(traj, config.cut_off_rad)
+        print("termination summary: "
+              + "  ".join(f"{k}={v}" for k, v in rep.counts.items()))
+    return traj

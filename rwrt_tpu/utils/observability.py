@@ -53,7 +53,7 @@ class Progress:
         self.t0 = time.perf_counter()
         self.ray_steps = 0
 
-    def update(self, current: int, ray_steps: int = 0):
+    def update(self, current: int, ray_steps: int = 0, alive_frac=None):
         self.ray_steps += ray_steps
         frac = current / max(self.total, 1)
         n = int(round(frac * self.bar_length))
@@ -61,6 +61,8 @@ class Progress:
         spaces = " " * (self.bar_length - len(arrow))
         rate = self.ray_steps / max(time.perf_counter() - self.t0, 1e-9)
         extra = f" {rate:,.0f} ray-steps/s" if self.ray_steps else ""
+        if alive_frac is not None:
+            extra += f" alive {alive_frac:5.1%}"
         self.file.write(f"\rprogress: [{arrow}{spaces}] {frac:5.1%}{extra}")
         self.file.flush()
         if current >= self.total:

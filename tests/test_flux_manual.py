@@ -1,0 +1,151 @@
+"""Hand-computed tests pinning the Li-Yang WRF pipeline to the manual's
+section-4 specification: Fun1's truncation-velocity + abnormal-wavenumber
+thresholds, Fun2's region selection, Fun3's flux maps and target-region
+aggregates (average propagation time, average speed, wave sources), and the
+-360..720 degree longitude scope."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rwrt_tpu.constants import rearth
+from rwrt_tpu.diagnostics import flux as flux_mod
+from rwrt_tpu.tracer import RayTrajectories
+
+HOUR = 3600.0
+
+
+def _toy_traj():
+    """One source, one zwn, 3 root slots, 4 output steps.
+
+    Slot 0: eastward ray along the equator, 10 deg/step.
+    Slot 1: ray seeded inside the target box, dies at step 2.
+    Slot 2: rootless (all NaN).
+    """
+    nt = 4
+    shape = (nt, 3, 1, 1)
+    lon = np.full(shape, np.nan)
+    lat = np.full(shape, np.nan)
+    kx = np.full(shape, np.nan)
+    ky = np.full(shape, np.nan)
+    amp = np.full(shape, np.nan)
+    ug = np.full(shape, np.nan)
+    vg = np.full(shape, np.nan)
+
+    lon[:, 0, 0, 0] = np.radians([0.0, 10.0, 20.0, 30.0])
+    lat[:, 0, 0, 0] = 0.0
+    kx[:, 0, 0, 0] = 3.0
+    ky[:, 0, 0, 0] = [1.0, 2.0, 50.0, 200.0]
+    amp[:, 0, 0, 0] = [1.0, 2.0, 4.0, 8.0]
+    ug[:, 0, 0, 0] = [30.0, 30.0, 30.0, 120.0]
+    vg[:, 0, 0, 0] = [0.0, 40.0, 0.0, 0.0]
+
+    lon[:2, 1, 0, 0] = np.radians([20.0, 21.0])
+    lat[:2, 1, 0, 0] = np.radians([5.0, 5.0])
+    kx[:2, 1, 0, 0] = 3.0
+    ky[:2, 1, 0, 0] = -1.0
+    amp[:2, 1, 0, 0] = 1.0
+    ug[:2, 1, 0, 0] = 10.0
+    vg[:2, 1, 0, 0] = 0.0
+
+    return RayTrajectories(*(jnp.asarray(a) for a in
+                             (lon, lat, kx, ky, amp, ug, vg)))
+
+
+def test_fun1_speed_and_wavenumber_thresholds():
+    traj = _toy_traj()
+    # No thresholds: all finite points valid (4 on slot 0, 2 on slot 1).
+    base = np.asarray(flux_mod.threshold_filter(traj))
+    assert int(base.sum()) == 6
+    # Truncation speed threshold: slot 0 step 1 has |cg| = 50, step 3 has
+    # |cg| = 120; speed_max=100 drops exactly step 3.
+    v = np.asarray(flux_mod.threshold_filter(traj, speed_max=100.0))
+    assert int(v.sum()) == 5
+    assert not v[3, 0, 0, 0]
+    # speed_min=20 drops slot 1 entirely (|cg| = 10).
+    v = np.asarray(flux_mod.threshold_filter(traj, speed_min=20.0))
+    assert int(v.sum()) == 4
+    # Abnormal wavenumber: |m| >= 100 drops slot 0 step 3 only.
+    v = np.asarray(flux_mod.threshold_filter(traj, mwn_max=100.0))
+    assert int(v.sum()) == 5
+    assert not v[3, 0, 0, 0]
+
+
+def test_fun2_region_selection():
+    traj = _toy_traj()
+    m = np.asarray(flux_mod.region_mask(traj, (15.0, 25.0), (-2.0, 10.0)))
+    assert m[0, 0, 0] and m[1, 0, 0] and not m[2, 0, 0]
+    # A box the rays never reach.
+    m = np.asarray(flux_mod.region_mask(traj, (200.0, 210.0), (-2.0, 10.0)))
+    assert not m.any()
+    # Date-line-crossing box containing lon=0.
+    m = np.asarray(flux_mod.region_mask(traj, (350.0, 5.0), (-2.0, 2.0)))
+    assert m[0, 0, 0] and not m[1, 0, 0]
+
+
+def test_fun3_region_statistics_hand_computed():
+    traj = _toy_traj()
+    tstep = 2 * HOUR
+    stats = flux_mod.region_statistics(
+        traj, (15.0, 25.0), (-2.0, 10.0), tstep)
+    # Both live rays pass through the box.
+    assert stats.n_passing == 2
+    # Slot 0 first enters at step 2 (lon 20), slot 1 at step 0 (seeded in).
+    assert stats.first_entry_step[0, 0, 0] == 2
+    assert stats.first_entry_step[1, 0, 0] == 0
+    assert stats.first_entry_step[2, 0, 0] == -1
+    np.testing.assert_allclose(stats.mean_entry_time,
+                               (2 * tstep + 0.0) / 2.0)
+    # Average speed uses only rays entering after t=0: slot 0 travels 20 deg
+    # along the equator in 2 steps.
+    want = np.radians(20.0) * rearth / (2 * tstep)
+    np.testing.assert_allclose(stats.mean_speed, want, rtol=1e-12)
+    # Wave sources of the passing rays are their seeds.
+    np.testing.assert_allclose(np.sort(np.degrees(stats.source_lon)),
+                               [0.0, 20.0])
+
+
+def test_fun3_flux_weights_hand_computed():
+    traj = _toy_traj()
+    # 3-degree bins => slot-0 points (0, 10, 20, 30 E) land in distinct cells.
+    kw = dict(nlon_bins=360, nlat_bins=60)
+    cnt_expected = 6
+
+    wrf = flux_mod.wave_ray_flux(traj, weight="count", **kw)
+    assert int(np.asarray(wrf.count).sum()) == cnt_expected
+    # Unit-vector flux: total |flux| <= count, equality when each cell has
+    # one point.
+    fu = np.asarray(wrf.flux_u)
+    # slot 0 step 1: direction (30, 40)/50 -> (0.6, 0.8) in its cell.
+    ix = int((10.0 + 360.0) / 3.0)
+    iy = int((0.0 + 90.0) / 3.0)
+    np.testing.assert_allclose(fu[ix, iy], 0.6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(wrf.flux_v)[ix, iy], 0.8, rtol=1e-6)
+
+    wrf = flux_mod.wave_ray_flux(traj, weight="cg", **kw)
+    np.testing.assert_allclose(np.asarray(wrf.flux_u)[ix, iy], 30.0)
+    wrf = flux_mod.wave_ray_flux(traj, weight="amp_cg", **kw)
+    np.testing.assert_allclose(np.asarray(wrf.flux_u)[ix, iy], 2.0 * 30.0)
+    # Fun1 thresholds thread through the map pipeline.
+    wrf = flux_mod.wave_ray_flux(traj, weight="count", mwn_max=100.0,
+                                 speed_max=100.0, **kw)
+    assert int(np.asarray(wrf.count).sum()) == 5
+
+
+def test_longitude_three_circle_scope():
+    """A ray circling the globe eastward keeps accumulating longitude past
+    360 deg instead of wrapping (manual: -360..720 scope)."""
+    nt = 10
+    shape = (nt, 1, 1, 1)
+    lon = np.radians(np.arange(nt) * 60.0).reshape(shape)  # 1.5 laps
+    lat = np.zeros(shape)
+    ones = np.ones(shape)
+    traj = RayTrajectories(*(jnp.asarray(a) for a in (
+        lon, lat, 3 * ones, ones, ones, 30 * ones, 0 * ones)))
+    un = np.degrees(np.asarray(flux_mod._unwrap_lon(traj.lon)))[:, 0, 0, 0]
+    np.testing.assert_allclose(un, np.arange(nt) * 60.0, atol=1e-9)
+    wrf = flux_mod.wave_ray_flux(traj, nlon_bins=36, nlat_bins=18,
+                                 weight="count")
+    # 540 deg of travel: points beyond 360 land in the third circle.
+    cnt = np.asarray(wrf.count)
+    third_circle = cnt[int((360 + 360) / 30):, :]
+    assert third_circle.sum() >= 2
