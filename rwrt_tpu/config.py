@@ -51,6 +51,13 @@ class RunConfig:
     # change_roots_order shuffle + reversal on top (reference bs.py:942-982)
     # so output files are slot-comparable with reference runs.
     root_order: str = "canonical"
+    # Drop never-born (rootless) lanes from the device batch at
+    # initialization. Typically ~40% of the 3*nsource*nzwn lanes have no
+    # real dispersion root; the integrators freeze them anyway (their
+    # history rows are their seed state + NaN wavenumber/amp/ug/vg forever),
+    # so their trajectories are reconstructed on host for free while the hot
+    # loop shrinks by the rootless fraction.
+    compact_rootless: bool = True
     # Background handling.
     xcyclic: bool = True
     # dtypes: read (ingest) and compute.

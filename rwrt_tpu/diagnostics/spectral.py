@@ -10,12 +10,26 @@ self-contained and TPU-friendly: longitude is handled by a real FFT and the
 latitude direction by dense Legendre matrices, so the whole filter is two
 batched matmuls around an FFT -- MXU work, jit-able, no host callbacks.
 
-Per zonal wavenumber m, the fitted coefficients are the least-squares
-projection of the FFT coefficients onto normalized associated Legendre
-functions up to Lmax (a pseudo-inverse, computed once on host and cached per
-(lat-grid, lmax)). For band-limited fields this equals truncate-after-full-
-expansion; for general fields it is the orthogonal projection onto the
-truncated basis, which is exactly the intent of the filter.
+Two analysis modes:
+
+- ``mode='projection'`` (default; works on ANY ascending latitude grid,
+  including the pipeline's pole-to-pole grids): per zonal wavenumber m the
+  coefficients are the least-squares projection of the FFT coefficients onto
+  normalized associated Legendre functions up to Lmax (pseudo-inverse,
+  computed once on host and cached). For band-limited fields this equals
+  truncate-after-full-expansion; for general fields it is the orthogonal
+  projection onto the truncated basis.
+- ``mode='dh'`` (requires a Driscoll & Healy sampled grid: N equally spaced
+  colatitudes pi*j/N, j=0..N-1, N even -- north pole included, south pole
+  excluded): exact DH quadrature analysis, the algorithm behind pyshtools
+  SHExpandDH/MakeGridDH that the reference delegates to (SHSF.py:23-33).
+  Coefficients of a field band-limited below N/2 are recovered EXACTLY
+  (sampling theorem); rough fields get the same aliased coefficients
+  pyshtools computes, so truncation results are comparable file-to-file.
+
+The two modes differ on non-band-limited input (projection is optimal in the
+grid's l2 sense; DH quadrature aliases degrees >= N/2 onto retained ones);
+tests/test_spectral_dh.py quantifies the gap.
 """
 
 from __future__ import annotations
@@ -66,7 +80,51 @@ def _filter_matrices(lat_key, lmax: int):
     return np.stack(mats)  # (lmax+1, nlat, nlat)
 
 
-def spectral_filter(field, lat, lmax: int):
+def dh_weights(n: int) -> np.ndarray:
+    """Driscoll & Healy (1994) quadrature weights for colatitudes
+    theta_j = pi*j/n, j = 0..n-1 (n even).
+
+    Exact for the latitude integrals of fields band-limited below n/2:
+    sum_j w_j g(cos theta_j) = integral_{-1}^{1} g(x) dx for the relevant
+    trigonometric-degree class. The defining property sum_j w_j P_l(x_j)
+    = 2*delta_{l0} for l < n is asserted in tests/test_spectral_dh.py
+    against numpy's Legendre polynomials (an independent implementation).
+    """
+    j = np.arange(n)
+    theta = np.pi * j / n
+    k = np.arange(n // 2)
+    # w_j = (4/n) sin(theta_j) sum_k sin((2k+1) theta_j) / (2k+1)
+    s = np.sin(np.outer(theta, 2 * k + 1)) / (2 * k + 1)
+    return (4.0 / n) * np.sin(theta) * s.sum(axis=1)
+
+
+def _is_dh_grid(lat: np.ndarray) -> bool:
+    n = lat.shape[0]
+    if n % 2:
+        return False
+    want = np.pi / 2 - np.pi * np.arange(n)[::-1] / n  # ascending
+    return bool(np.allclose(lat, want, atol=1e-9))
+
+
+@functools.lru_cache(maxsize=8)
+def _dh_matrices(nlat: int, lmax: int):
+    """Per-m DH filter matrices F_m = S_m @ (S_m^T W), stacked.
+
+    Analysis: a_lm = sum_j w_j p̄_l^m(x_j) f_m(x_j) (exact DH quadrature of
+    the orthonormal-Legendre inner product); synthesis: S_m a. Latitudes in
+    DH order ascending (south-most first, north pole last).
+    """
+    theta = np.pi * np.arange(nlat) / nlat
+    x = np.cos(theta)[::-1]  # ascending in latitude
+    w = dh_weights(nlat)[::-1]
+    mats = []
+    for m in range(lmax + 1):
+        s = normalized_legendre(x, lmax, m)  # (nlat, lmax-m+1)
+        mats.append(s @ (s.T * w[None, :]))
+    return np.stack(mats)  # (lmax+1, nlat, nlat)
+
+
+def spectral_filter(field, lat, lmax: int, mode: str = "projection"):
     """Triangular-truncation spherical-harmonic filter.
 
     Args:
@@ -74,6 +132,8 @@ def spectral_filter(field, lat, lmax: int):
       lat: (nlat,) latitudes in radians, ascending.
       lmax: truncation degree (reference example: 180/dphi_deg - 1,
         SHSF.py:38).
+      mode: 'projection' (any grid) or 'dh' (exact Driscoll & Healy
+        quadrature; requires the DH grid -- see module docstring).
 
     Returns:
       (nlon, nlat) filtered field, same dtype.
@@ -82,7 +142,18 @@ def spectral_filter(field, lat, lmax: int):
     nlon, nlat = field.shape
     m_count = min(lmax, nlon // 2) + 1
 
-    mats = _filter_matrices(tuple(np.asarray(lat).tolist()), lmax)
+    if mode == "projection":
+        mats = _filter_matrices(tuple(np.asarray(lat).tolist()), lmax)
+    elif mode == "dh":
+        if not _is_dh_grid(np.asarray(lat)):
+            raise ValueError(
+                "mode='dh' needs the Driscoll & Healy grid: nlat even, "
+                "colatitudes pi*j/nlat (north pole included, south pole "
+                "excluded); use mode='projection' for other grids"
+            )
+        mats = _dh_matrices(nlat, lmax)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     mats = jnp.asarray(mats[:m_count], field.dtype)
 
     fm = jnp.fft.rfft(field, axis=0)  # (nlon//2+1, nlat) complex
@@ -95,12 +166,15 @@ def spectral_filter(field, lat, lmax: int):
     return jnp.fft.irfft(out, n=nlon, axis=0).astype(field.dtype)
 
 
-def shsf(data, lat, truncation_level: int):
+def shsf(data, lat, truncation_level: int, mode: str = "projection"):
     """Reference-shaped entry point (SHSF.py:10): filter one or more fields.
 
-    data: (nlon, nlat) or (k, nlon, nlat).
+    data: (nlon, nlat) or (k, nlon, nlat). mode='dh' reproduces the
+    reference's pyshtools SHExpandDH -> truncate -> MakeGridDH pipeline on
+    DH-sampled grids.
     """
     data = jnp.asarray(data)
     if data.ndim == 2:
-        return spectral_filter(data, lat, truncation_level)
-    return jnp.stack([spectral_filter(d, lat, truncation_level) for d in data])
+        return spectral_filter(data, lat, truncation_level, mode)
+    return jnp.stack(
+        [spectral_filter(d, lat, truncation_level, mode) for d in data])

@@ -13,7 +13,7 @@ wr.py:737-746, so they are not carried in the state).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -47,10 +47,14 @@ class Background(NamedTuple):
     freq: jnp.ndarray
     bg_t0: jnp.ndarray = jnp.float32(0.0)
     bg_dt: jnp.ndarray = jnp.float32(1.0)
+    # Ensemble sweeps: fields is (M, W, H, 4C) (one packed stack per member)
+    # and member_ids (R,) maps each ray lane to its member. None for single
+    # backgrounds. See interp.sample_raw_packed_member.
+    member_ids: Optional[jnp.ndarray] = None
 
     @property
     def time_varying(self) -> bool:
-        return self.fields.ndim == 4
+        return self.fields.ndim == 4 and self.member_ids is None
 
 
 def sample_bg(bg: "Background", lon, lat, t):
@@ -61,6 +65,18 @@ def sample_bg(bg: "Background", lon, lat, t):
     sampling; unpacked stacks are also accepted for direct/diagnostic use.
     """
     packed = bg.fields.shape[-1] == 4 * interp.NUM_HOT
+    if bg.member_ids is not None:
+        # Ensemble lanes: per-lane member row offset into the stacked packed
+        # fields. Calls over flattened (k*R,) positions (e.g. the grouped
+        # history re-derivation) tile the lane->member map.
+        member = bg.member_ids
+        if member.shape[0] != lon.shape[0]:
+            reps = lon.shape[0] // member.shape[0]
+            member = jnp.tile(member, reps)
+        raw = interp.sample_raw_packed_member(
+            bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat, member
+        )
+        return interp.mercator_transform(raw, lat)
     if bg.fields.ndim == 4:
         tfrac = (t - bg.bg_t0) / bg.bg_dt
         tfrac = jnp.broadcast_to(jnp.asarray(tfrac, lon.dtype), lon.shape)
@@ -113,6 +129,26 @@ def rhs(bg: Background, y: jnp.ndarray, t=0.0) -> Tuple[jnp.ndarray, jnp.ndarray
       (dy (5, R), err (R,) bool): err flags rays whose derivatives were forced
       NaN this evaluation (|lat| or |ky| out of bounds, wr.py:508-514).
     """
+    dy, err, _, _ = _rhs_core(bg, y, t, False)
+    return dy, err
+
+
+def rhs_and_gv(bg: Background, y: jnp.ndarray, t=0.0):
+    """rhs plus the diagnostic (ug, vg) of the evaluated state, computed from
+    the SAME background sample.
+
+    The (ug, vg) here are exactly what ``group_velocity_at`` would return at
+    (lon, lat, kx, ky, t) -- raw ky, not the err-masked ky the derivatives
+    use -- so the per-step output re-derivation (reference wr.py:737-746) can
+    reuse the 7th-stage sample instead of paying a second gather pass.
+
+    Returns (dy (5, R), ug (R,), vg (R,)).
+    """
+    dy, _, ug, vg = _rhs_core(bg, y, t, True)
+    return dy, ug, vg
+
+
+def _rhs_core(bg: Background, y: jnp.ndarray, t, with_raw_gv: bool):
     lon, lat, kx, ky, amp = y[S_LON], y[S_LAT], y[S_KX], y[S_KY], y[S_AMP]
 
     err = fail_mask(y)
@@ -152,7 +188,10 @@ def rhs(bg: Background, y: jnp.ndarray, t=0.0) -> Tuple[jnp.ndarray, jnp.ndarray
         ]
     )
     dy = jnp.where(err[None, :], jnp.nan, dy)
-    return dy, err
+    if with_raw_gv:
+        ug_raw, vg_raw = group_velocity(fmu, fmv, fmqx, fmqy, kx, ky)
+        return dy, err, ug_raw, vg_raw
+    return dy, err, None, None
 
 
 def group_velocity_at(bg: Background, lon, lat, kx, ky, t=0.0, *,

@@ -275,6 +275,44 @@ def sample_mercator_packed(packed, lon0, lat0, dx, dy, lon, lat):
     return mercator_transform(raw, lat)
 
 
+def sample_raw_packed_member(packed, lon0, lat0, dx, dy, lon, lat, member):
+    """Ensemble variant of sample_raw_packed: per-lane member selection.
+
+    packed: (M, W, H, 4C) corner-packed stacks, one per ensemble member;
+    member: (R,) int32 lane -> member index. The member axis folds into the
+    gathered row index (one extra add), so per-lane cost is identical to the
+    single-member path and results are bit-identical per member. This is how
+    ensemble sweeps (BASELINE.json config 5) ride the SAME group-asynchronous
+    adaptive controller as single runs: members become extra lanes, whose
+    progress is already decoupled per lane.
+    """
+    m, w, h, c4 = packed.shape
+    c = c4 // 4
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
+    sx = ix - x0.astype(ix.dtype)
+    sy = iy - y0.astype(iy.dtype)
+
+    rows = packed.reshape(m * w * h, c4).at[
+        member * (w * h) + x0 * h + y0
+    ].get(mode="promise_in_bounds")
+    fc = rows[:, 0:c]
+    fd = rows[:, c : 2 * c]
+    fa = rows[:, 2 * c : 3 * c]
+    fb = rows[:, 3 * c : 4 * c]
+
+    wa = ((1.0 - sx) * sy)[:, None]
+    wb = (sx * sy)[:, None]
+    wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+    wd = (sx * (1.0 - sy))[:, None]
+    vals = fa * wa + fb * wb + fc * wc + fd * wd
+    in_range = jnp.abs(lat) <= 0.5 * pi
+    return jnp.where(in_range[:, None], vals, jnp.nan)
+
+
 def sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac) -> jnp.ndarray:
     """Time-varying variant: bs_fields (T, W, H, C), tfrac (R,) fractional
     frame index (clamped to the ends). Linear interpolation in time of the

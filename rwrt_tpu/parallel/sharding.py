@@ -8,14 +8,24 @@ TPU-native scaling story is correspondingly simple and is implemented here:
 - the background field stack is small (nlon x nlat x 18) and REPLICATED on
   every chip;
 - the (5, R) ray state and all per-ray lanes are sharded along R;
-- the hot loop needs NO collectives (every ray is independent: the RHS is a
-  gather from the replicated background plus elementwise algebra); the only
-  communication is the implicit all-gather when trajectories are fetched.
+- the only communication is the implicit all-gather when trajectories are
+  fetched.
 
-Because the computation is elementwise along R, jit + input shardings are
-sufficient for GSPMD to partition the whole scan/while_loop program without
-any resharding; ``shard_map`` is unnecessary. R is padded with NaN lanes
-(dead rays) up to a multiple of the mesh size.
+The fixed-step (RK4) path is a pure elementwise scan, so jit + input
+shardings are sufficient for GSPMD to partition it without collectives. The
+ADAPTIVE path is NOT: its ``while_loop`` condition ``jnp.any(~done)`` is a
+global reduction over the lane axis, which GSPMD would turn into a
+cross-chip all-reduce on every controller iteration and couple every shard
+to the globally slowest ray. The adaptive runners therefore go through
+``jax.shard_map`` (tracer._run_rk45_sharded and the *_shardmap chunk
+wrappers): each shard owns its lanes AND its own while_loop, the reduction
+is shard-local, the compiled program contains no collectives (asserted in
+tests/test_shardmap.py), and shards exit their loops independently. The
+per-lane algorithm is exactly the single-device one; results differ only by
+compiler codegen ULP wobble (XLA vectorizes the smaller per-shard lane
+count differently), deterministic and ~7 orders below the physics gate,
+with identical NaN masks. R is padded with NaN lanes (dead rays) up to a
+multiple of the mesh size.
 """
 
 from __future__ import annotations

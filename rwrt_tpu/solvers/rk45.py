@@ -124,8 +124,10 @@ def integrate_interval(
     carry = _Carry(
         y=y, t=t, h=h,
         f=rhs_fn(y, t),
-        rejected=jnp.zeros(t.shape, bool),
-        new_step=jnp.ones(t.shape, bool),
+        # zeros_like/ones_like (not fresh constants) so the lanes inherit
+        # the carry's sharding/varying-axis type under shard_map.
+        rejected=jnp.zeros_like(t, dtype=bool),
+        new_step=jnp.ones_like(t, dtype=bool),
         done=done,
         iters=jnp.zeros((), jnp.int32),
         nfev=jnp.zeros((), jnp.int32),
@@ -196,7 +198,7 @@ class _GroupCarry(NamedTuple):
     rejected: jnp.ndarray  # (R,) bool
     new_step: jnp.ndarray  # (R,) bool
     idx: jnp.ndarray       # (R,) int32: which bound each ray works toward
-    hist: jnp.ndarray      # (G, 5, R) saved states at each bound (NaN init)
+    hist: jnp.ndarray      # (G, 7, R) saved [state(5), ug, vg] per bound
     prev_lon: jnp.ndarray  # (R,) last saved lon (for the haversine kill)
     prev_lat: jnp.ndarray  # (R,)
     iters: jnp.ndarray
@@ -204,7 +206,7 @@ class _GroupCarry(NamedTuple):
 
 
 def integrate_group(
-    rhs_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
+    rhs_fn, rhs_gv_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
     rtol, atol, min_step, max_iters: int = 1_000_000,
 ):
     """Advance every ray through a GROUP of output bounds asynchronously.
@@ -220,12 +222,22 @@ def integrate_group(
     total while-iterations become max-over-rays of total attempts in the
     group rather than a sum of per-interval maxima (~2x fewer at 100k rays).
 
+    The 7th (FSAL) stage samples the background exactly at the state being
+    saved, so the per-bound output (ug, vg) re-derivation (reference
+    wr.py:737-746) is computed from that sample via ``rhs_gv_fn`` and stored
+    as history rows 5-6 -- identical values to a post-pass
+    ``group_velocity_at`` at the saved states, without its second gather
+    sweep over G x R rows.
+
     Args:
+      rhs_fn: y, t -> dy (5, R).
+      rhs_gv_fn: y, t -> (dy, ug, vg) -- same dy, plus raw-ky group velocity
+        of the evaluated state (models/ray.py rhs_and_gv).
       f: (5, R) rhs at (t, y) (FSAL carry; pass rhs_fn(y, t) at t=0).
       bounds: (G,) increasing output times.
 
     Returns:
-      (hist (G, 5, R), y, t, h, f, prev_lon, prev_lat, iters, nfev).
+      (hist (G, 7, R), y, t, h, f, prev_lon, prev_lat, iters, nfev).
     """
     g = bounds.shape[0]
     r = t.shape[0]
@@ -235,19 +247,24 @@ def integrate_group(
     # barrier path saves their UNCHANGED state at every bound (the interval
     # entry marks them accepted with y untouched, and the kill masks cannot
     # trigger on an unchanged state). Pre-fill all their slots and finish
-    # them outright.
+    # them outright. Their (ug, vg) rows are NaN: any NaN state component
+    # makes group_velocity NaN through its inputs (position -> fields, or
+    # the NaN wavenumber/kappa) for every state the initializer or the kill
+    # masks can produce.
     idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
     t = jnp.where(nan_mean, bounds[-1], t)
     hist0 = jnp.where(
         nan_mean[None, None, :],
-        jnp.broadcast_to(y[None], (g,) + y.shape),
+        jnp.concatenate(
+            [jnp.broadcast_to(y[None], (g,) + y.shape),
+             jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
         jnp.nan,
     ).astype(y.dtype)
 
     carry = _GroupCarry(
         y=y, t=t, h=h, f=f,
-        rejected=jnp.zeros(r, bool),
-        new_step=jnp.ones(r, bool),
+        rejected=jnp.zeros_like(t, dtype=bool),
+        new_step=jnp.ones_like(t, dtype=bool),
         idx=idx0,
         hist=hist0,
         prev_lon=prev_lon, prev_lat=prev_lat,
@@ -275,7 +292,7 @@ def integrate_group(
             )
             k.append(rhs_fn(c.y + dy, c.t + DP_C[s] * hstep))
         y_new = c.y + hstep[None, :] * sum(DP_B[j] * k[j] for j in range(6))
-        f_new = rhs_fn(y_new, t_new)
+        f_new, ug_new, vg_new = rhs_gv_fn(y_new, t_new)
         k.append(f_new)
 
         err = hstep[None, :] * sum(DP_E[j] * k[j] for j in range(7))
@@ -309,12 +326,17 @@ def integrate_group(
         kill = (jnp.abs(y_upd[1]) >= 0.5 * pi) | (ddis >= cut_off)
         y_sav = jnp.where((crossing & kill)[None, :], jnp.nan, y_upd)
         y_out = jnp.where(crossing[None, :], y_sav, y_upd)
+        # The crossing state IS the 7th-stage state, so (ug_new, vg_new) are
+        # the output group velocities; kill-masked like the state.
+        gv_sav = jnp.where((crossing & kill)[None, :], jnp.nan,
+                           jnp.stack([ug_new, vg_new]))
+        row_sav = jnp.concatenate([y_sav, gv_sav], axis=0)  # (7, R)
 
         # Record the saved state into this ray's current bound slot.
         sel = crossing[None, :] & (
             jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0) == c.idx[None, :]
         )[:, None, :].reshape(g, 1, r)
-        hist_out = jnp.where(sel, y_sav[None], c.hist)
+        hist_out = jnp.where(sel, row_sav[None], c.hist)
 
         # Dead after crossing -> skip all remaining bounds (their slots stay
         # NaN, exactly like the barrier version's NaN propagation).

@@ -204,6 +204,9 @@ def _rk45_group_chunk(bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off,
     """One GROUP of output bounds, integrated asynchronously per ray
     (solvers/rk45.py integrate_group) -- numerically identical to
     _rk45_chunk over the same bounds, ~2x fewer while-iterations at scale.
+    The per-bound (ug, vg) come from the 7th-stage sample inside the loop
+    (rhs_and_gv) -- same values as a group_velocity_at post-pass over the
+    saved states, minus its G x R-row gather sweep.
 
     Returns ((y, t, h, f, prev_lon, prev_lat), (hist, ugs, vgs, iters, nfev))
     with hist/ugs/vgs leading axis = len(bounds).
@@ -213,21 +216,17 @@ def _rk45_group_chunk(bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off,
         dy, _ = ray_mod.rhs(bg, yy, tt)
         return dy
 
+    def rhs_gv_fn(yy, tt=0.0):
+        return ray_mod.rhs_and_gv(bg, yy, tt)
+
     hist, y, t, h, f, prev_lon, prev_lat, iters, nfev = (
         rk45_mod.integrate_group(
-            rhs_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
-            rtol, atol, min_step, max_iters,
+            rhs_fn, rhs_gv_fn, y, t, h, f, bounds, prev_lon, prev_lat,
+            cut_off, rtol, atol, min_step, max_iters,
         )
     )
-    g = bounds.shape[0]
-    r = y.shape[1]
-    tb = jnp.repeat(bounds, r)
-    ugs, vgs = ray_mod.group_velocity_at(
-        bg, hist[:, S_LON].reshape(-1), hist[:, S_LAT].reshape(-1),
-        hist[:, S_KX].reshape(-1), hist[:, S_KY].reshape(-1), tb,
-    )
     return (y, t, h, f, prev_lon, prev_lat), (
-        hist, ugs.reshape(g, r), vgs.reshape(g, r), iters, nfev
+        hist[:, :5], hist[:, 5], hist[:, 6], iters, nfev
     )
 
 
@@ -293,7 +292,9 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
               max_iters=100_000):
     """Full adaptive run (reference wr.py:767-887) as one fused program."""
     h0 = initial_step_sizes(bg, y0, rtol, atol)
-    t0 = jnp.zeros(y0.shape[1], y0.dtype)
+    # zeros_like (not a fresh constant) so t inherits the lane sharding /
+    # varying-axis type under shard_map.
+    t0 = jnp.zeros_like(y0[0])
     t_bounds = (jnp.arange(1, nt, dtype=y0.dtype)) * dt
 
     _, (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
@@ -316,7 +317,7 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
         return dy
 
     h0 = initial_step_sizes(bg, y0, rtol, atol)
-    t0 = jnp.zeros(y0.shape[1], y0.dtype)
+    t0 = jnp.zeros_like(y0[0])
     f0 = rhs_fn(y0, t0)
 
     n_bounds = nt - 1
@@ -348,6 +349,30 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     return ys, ugs, vgs, iters, nfev
 
 
+def compact_lane_indices(born: np.ndarray):
+    """Device-lane index set for rootless compaction, or None to skip.
+
+    Keeps the born lanes plus enough rootless lanes to pad the count to a
+    multiple of 8: an unaligned lane count makes XLA's masked SIMD tail
+    contract FMAs differently from the vector body, so results would vary
+    at the ULP level with lane ORDER; aligned counts keep every lane's
+    arithmetic bitwise identical under permutation/compaction (verified in
+    tests). The pad lanes are real rootless lanes -- the integrators freeze
+    them, writing exactly the rows the host reconstruction fills for the
+    dropped ones. Skips (returns None) when fewer than 8 lanes would be
+    saved.
+    """
+    born = np.asarray(born)
+    n_rootless = int((~born).sum())
+    if n_rootless < 8 or not born.any():
+        return None
+    idx = np.where(born)[0]
+    pad = (-idx.size) % 8
+    if pad:
+        idx = np.concatenate([idx, np.where(~born)[0][:pad]])
+    return idx
+
+
 def _ray_specs():
     """PartitionSpecs for the standard per-lane array ranks."""
     from jax.sharding import PartitionSpec as P
@@ -363,10 +388,9 @@ def _ray_specs():
     }
 
 
-def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
-                      min_step, group: int):
-    """Multi-chip adaptive run: shard_map over the 'rays' mesh axis, each
-    shard running its OWN while_loop over its lanes.
+@functools.lru_cache(maxsize=None)
+def _make_rk45_sharded_fn(mesh, nt: int, group: int):
+    """Build (once per (mesh, nt, group)) the shard_mapped full adaptive run.
 
     Under plain GSPMD the controller's ``jnp.any(~done)`` loop condition is a
     global reduction over the sharded lane axis -- a cross-chip all-reduce
@@ -376,13 +400,14 @@ def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     its loop independently -- the TPU-native equivalent of the reference's
     pending-subset controller (reference rkf45.py:375-514).
 
-    Results are bit-identical to the single-device run: every per-lane
+    The algorithm is exactly the single-device algorithm: every per-lane
     quantity evolves independently, and the extra masked iterations a shard
-    may or may not execute are exact no-ops for finished lanes.
-
-    Returns (ys, ugs, vgs, iters, nfev) with iters/nfev shaped
-    (n_shards, n_chunks) -- per-shard device-loop counts (they differ; that
-    is the point).
+    may or may not execute are exact no-ops for finished lanes. Results are
+    deterministic and agree with the single-device run up to compiler
+    codegen differences (XLA vectorizes the per-shard lane count differently
+    from the full batch; the resulting ULP wobble amplifies to ~1e-7 rad
+    over multi-day trajectories -- far below the 0.1 deg physics gate; NaN
+    masks stay identical, tests/test_shardmap.py).
     """
     sp = _ray_specs()
 
@@ -398,19 +423,30 @@ def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
             )
         return ys, ugs, vgs, iters.reshape(1, -1), nfev.reshape(1, -1)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["rep"],
                   sp["rep"], sp["rep"], sp["rep"], sp["rep"]),
         out_specs=(sp["l3"], sp["l2"], sp["l2"], sp["shard"], sp["shard"]),
-    )
-    return jax.jit(fn)(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step)
+    ))
 
 
-def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
-                               bounds, cut_off, rtol, atol, min_step):
+def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
+                      min_step, group: int):
+    """Multi-chip adaptive run via shard_map (see _make_rk45_sharded_fn).
+
+    Returns (ys, ugs, vgs, iters, nfev) with iters/nfev shaped
+    (n_shards, n_chunks) -- per-shard device-loop counts (they differ; that
+    is the point).
+    """
+    fn = _make_rk45_sharded_fn(mesh, nt, group)
+    return fn(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_group_chunk_shardmap_fn(mesh):
     """shard_map wrapper of _rk45_group_chunk (one chunk of the chunked
-    driver) -- same shard-local-loop property as _run_rk45_sharded."""
+    driver) -- same shard-local-loop property as the full sharded run."""
     sp = _ray_specs()
 
     def local(bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol, min_step):
@@ -421,7 +457,7 @@ def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
         return (y, t, h, f, pl, pa, hist, ugs, vgs,
                 iters.reshape(1), nfev.reshape(1))
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["l2"],
                   sp["lane"], sp["lane"], sp["rep"], sp["rep"], sp["rep"],
@@ -429,16 +465,22 @@ def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
         out_specs=(sp["l2"], sp["lane"], sp["lane"], sp["l2"], sp["lane"],
                    sp["lane"], sp["l3"], sp["l2"], sp["l2"], sp["lane"],
                    sp["lane"]),
-    )
-    y, t, h, f, pl, pa, hist, ugs, vgs, iters, nfev = jax.jit(fn)(
-        bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off, rtol, atol,
-        min_step,
+    ))
+
+
+def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
+                               bounds, cut_off, rtol, atol, min_step):
+    y, t, h, f, pl, pa, hist, ugs, vgs, iters, nfev = (
+        _make_group_chunk_shardmap_fn(mesh)(
+            bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off, rtol, atol,
+            min_step,
+        )
     )
     return (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev)
 
 
-def _rk45_chunk_shardmap(mesh, bg, y, t, h, t_bounds, cut_off, rtol, atol,
-                         min_step):
+@functools.lru_cache(maxsize=None)
+def _make_interval_chunk_shardmap_fn(mesh):
     """shard_map wrapper of the barrier-path _rk45_chunk."""
     sp = _ray_specs()
 
@@ -448,15 +490,21 @@ def _rk45_chunk_shardmap(mesh, bg, y, t, h, t_bounds, cut_off, rtol, atol,
         )
         return y, t, h, ys, ugs, vgs, iters.reshape(1, -1), nfev.reshape(1, -1)
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["rep"],
                   sp["rep"], sp["rep"], sp["rep"], sp["rep"]),
         out_specs=(sp["l2"], sp["lane"], sp["lane"], sp["l3"], sp["l2"],
                    sp["l2"], sp["shard"], sp["shard"]),
-    )
-    y, t, h, ys, ugs, vgs, iters, nfev = jax.jit(fn)(
-        bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
+    ))
+
+
+def _rk45_chunk_shardmap(mesh, bg, y, t, h, t_bounds, cut_off, rtol, atol,
+                         min_step):
+    y, t, h, ys, ugs, vgs, iters, nfev = (
+        _make_interval_chunk_shardmap_fn(mesh)(
+            bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
+        )
     )
     return (y, t, h), (ys, ugs, vgs, iters, nfev)
 
@@ -468,6 +516,7 @@ def trace_rays(
     source_lat: Optional[np.ndarray] = None,
     mesh=None,
     initial_state: Optional[jnp.ndarray] = None,
+    auto_chunk_bytes: Optional[int] = 2 << 30,
 ) -> RayTrajectories:
     """Run the full ray-tracing pipeline (reference wr.py:897-911).
 
@@ -483,9 +532,27 @@ def trace_rays(
         conditions (the reference's debug hook load_init_from_precal_nc,
         wr.py:398-415, which injects externally computed initials). R must be
         3 * nsource * nzwn in (root, source, zwn) C order.
+      auto_chunk_bytes: the fused runner materializes the whole (nt, 7, R)
+        history on device; past this estimated footprint (default 2 GiB,
+        conservative for a 16 GiB chip since the scan keeps ~2x alive) the
+        run is transparently routed through the chunked driver, which
+        accumulates history on host. None disables the rerouting.
     """
     config.validate()
     dtype = bs.fields.dtype
+    if auto_chunk_bytes is not None:
+        n_lanes = 3 * (config.nsource if source_lon is None
+                       else np.asarray(source_lon).shape[0]) * config.nzwn
+        itemsize = jnp.zeros((), dtype).dtype.itemsize
+        est = 2 * config.nt * n_lanes * 7 * itemsize
+        if est > auto_chunk_bytes:
+            from rwrt_tpu.utils import checkpoint as _ckpt
+
+            return _ckpt.trace_rays_chunked(
+                bs, config, verbose=False, mesh=mesh,
+                source_lon=source_lon, source_lat=source_lat,
+                initial_state=initial_state,
+            )
     if source_lon is None:
         source_lon, source_lat = source_matrix(
             config.sw_lon, config.sw_lat, config.dlon, config.dlat,
@@ -507,6 +574,17 @@ def trace_rays(
         )
 
     n_rays = y0.shape[1]
+    y0_full, ug0_full, vg0_full = y0, ug0, vg0
+    take = None
+    if config.compact_rootless:
+        idx = compact_lane_indices(np.isfinite(np.asarray(y0[4])))
+        if idx is not None:
+            take = jnp.asarray(idx)
+            y0 = jnp.take(y0, take, axis=1)
+            ug0 = jnp.take(ug0, take)
+            vg0 = jnp.take(vg0, take)
+    n_lanes = y0.shape[1]
+
     if mesh is not None:
         from rwrt_tpu.parallel import sharding as sh
 
@@ -524,6 +602,8 @@ def trace_rays(
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
 
     if config.integrator == "rk4":
+        # Pure elementwise scan: plain GSPMD partitions it with no
+        # collectives, no shard_map needed.
         ys, ugs, vgs = _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
     else:
         min_step = min(
@@ -532,7 +612,14 @@ def trace_rays(
         rtol = rk45_mod.validate_tol(config.rtol, dtype)  # rkf45.py:21-26
         atol = jnp.asarray(config.atol, dtype)
         min_step = jnp.asarray(min_step, dtype)
-        if config.interval_batch > 1 and nt > 2:
+        if mesh is not None:
+            # shard_map: per-shard while_loops, no collectives in the hot
+            # loop (see _run_rk45_sharded).
+            ys, ugs, vgs, _, _ = _run_rk45_sharded(
+                mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
+                min_step, group=min(config.interval_batch, nt - 1),
+            )
+        elif config.interval_batch > 1 and nt > 2:
             ys, ugs, vgs, _, _ = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=min(config.interval_batch, nt - 1),
@@ -541,6 +628,24 @@ def trace_rays(
             ys, ugs, vgs, _, _ = _run_rk45(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
             )
+
+    if take is not None:
+        # Expand the compacted lanes back into the full layout. Rootless
+        # lanes' histories are integrator-specific (both match the
+        # reference): the adaptive solver freezes NaN-state rays at their
+        # seed state (reference rkf45.py:400-403 -> finite lon/lat/kx, NaN
+        # ky/amp forever), while RK4 writes the NaN step proposal back (the
+        # err mask does not flag NaN ky; reference wr.py:593-618 -> all-NaN
+        # from step 1). (ug, vg) are NaN beyond step 0 either way.
+        if config.integrator == "rk45":
+            ys_f = jnp.broadcast_to(y0_full[None], (nt,) + y0_full.shape)
+        else:
+            ys_f = jnp.full((nt,) + y0_full.shape, jnp.nan, y0_full.dtype)
+            ys_f = ys_f.at[0].set(y0_full)
+        ys = ys_f.at[..., take].set(ys[..., :n_lanes])
+        gv_f = jnp.full((nt, n_rays), jnp.nan, ys.dtype)
+        ugs = gv_f.at[0].set(ug0_full).at[..., take].set(ugs[..., :n_lanes])
+        vgs = gv_f.at[0].set(vg0_full).at[..., take].set(vgs[..., :n_lanes])
 
     nsource = source_lon.shape[0]
     out_shape = (nt, 3, nsource, len(config.zwn))
@@ -567,19 +672,22 @@ def _traj_from(ys, ugs, vgs, reshape):
 def trace_rays_ensemble(bs_members, config: RunConfig,
                         source_lon=None, source_lat=None):
     """Ensemble sweep over multiple background states (BASELINE.json config
-    5: e.g. one member per reanalysis year): one extra vmapped axis over the
-    stacked background pytrees; results identical to per-member trace_rays
-    runs (tests/test_time_varying.py).
+    5: e.g. one member per reanalysis year). Results are identical to
+    per-member trace_rays runs (tests/test_time_varying.py,
+    tests/test_ensemble_rk45.py).
 
     All members must share grid shape and dtype. Returns a list of
-    RayTrajectories, one per member (currently rk4 only; for the adaptive
-    solver run members separately -- the while_loop trip count would be the
-    max over members, wasting the faster ones).
+    RayTrajectories, one per member.
+
+    - rk4: one extra vmapped axis over the stacked background pytrees (the
+      step is a fixed-shape scan, so vmap wastes nothing).
+    - rk45: members are FLATTENED into the ray-lane axis, with a per-lane
+      member index folded into the background gather
+      (interp.sample_raw_packed_member). The group-asynchronous adaptive
+      controller already decouples per-lane progress, so a fast member never
+      waits on a slow one -- unlike a vmap, whose while_loop trip count
+      would be the max over members.
     """
-    if config.integrator != "rk4":
-        raise NotImplementedError(
-            "ensemble vmap is rk4-only; run adaptive members separately"
-        )
     config.validate()
     dtype = bs_members[0].fields.dtype
     if source_lon is None:
@@ -590,25 +698,64 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
     source_lon = jnp.asarray(source_lon, dtype)
     source_lat = jnp.asarray(source_lat, dtype)
     zwn = jnp.asarray(config.zwn_array(), dtype)
-
-    bgs = jax.tree.map(
-        lambda *xs: jnp.stack(xs),
-        *[make_background(m, config.freq) for m in bs_members],
-    )
     nt = config.nt
     dt = jnp.asarray(config.tstep, dtype)
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
-
-    def run_one(bg):
-        y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
-        return _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
-
-    ys, ugs, vgs = jax.vmap(run_one)(bgs)
     nsource = source_lon.shape[0]
     out_shape = (nt, 3, nsource, len(config.zwn))
+    n_members = len(bs_members)
+    members = [make_background(m, config.freq) for m in bs_members]
+
+    if config.integrator == "rk4":
+        bgs = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+        def run_one(bg):
+            y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+            return _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
+
+        ys, ugs, vgs = jax.vmap(run_one)(bgs)
+        return [
+            _traj_from(ys[i], ugs[i], vgs[i],
+                       lambda a: a.reshape(out_shape))
+            for i in range(n_members)
+        ]
+
+    # rk45: flatten members into lanes (member-major) over ONE stacked
+    # background with per-lane member ids.
+    inits = [initialize(bg, source_lon, source_lat, zwn,
+                        config.root_order) for bg in members]
+    y0 = jnp.concatenate([i[0] for i in inits], axis=1)
+    ug0 = jnp.concatenate([i[1] for i in inits])
+    vg0 = jnp.concatenate([i[2] for i in inits])
+    r_single = 3 * nsource * len(config.zwn)
+    ens_bg = Background(
+        fields=jnp.stack([bg.fields for bg in members]),
+        lon0=members[0].lon0, lat0=members[0].lat0,
+        dx=members[0].dx, dy=members[0].dy, freq=members[0].freq,
+        bg_t0=members[0].bg_t0, bg_dt=members[0].bg_dt,
+        member_ids=jnp.repeat(jnp.arange(n_members, dtype=jnp.int32),
+                              r_single),
+    )
+
+    min_step = jnp.asarray(
+        min(config.min_step_factor * config.tstep, config.tstep * 1e-3),
+        dtype)
+    rtol = rk45_mod.validate_tol(config.rtol, dtype)
+    atol = jnp.asarray(config.atol, dtype)
+    if config.interval_batch > 1 and nt > 2:
+        ys, ugs, vgs, _, _ = _run_rk45_grouped(
+            ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+            group=min(config.interval_batch, nt - 1),
+        )
+    else:
+        ys, ugs, vgs, _, _ = _run_rk45(
+            ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
+        )
     out = []
-    for i in range(len(bs_members)):
+    for i in range(n_members):
+        sl = slice(i * r_single, (i + 1) * r_single)
         out.append(_traj_from(
-            ys[i], ugs[i], vgs[i], lambda a: a.reshape(out_shape)
+            ys[..., sl], ugs[..., sl], vgs[..., sl],
+            lambda a: a.reshape(out_shape),
         ))
     return out

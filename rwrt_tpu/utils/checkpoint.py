@@ -21,6 +21,7 @@ from rwrt_tpu.config import RunConfig
 from rwrt_tpu.models.basic_state import BasicState
 import jax
 
+from rwrt_tpu import tracer as _tracer_mod
 from rwrt_tpu.tracer import (
     RayTrajectories,
     initial_step_sizes,
@@ -63,6 +64,7 @@ def trace_rays_chunked(
     source_lat=None,
     mesh=None,
     sort_rays: bool = False,
+    initial_state=None,
 ) -> RayTrajectories:
     """Like tracer.trace_rays but chunked, with progress + checkpointing.
 
@@ -87,6 +89,29 @@ def trace_rays_chunked(
     bg = make_background(bs, config.freq)
     y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn,
                               config.root_order)
+    if initial_state is not None:
+        # The reference's initial-condition injection hook (wr.py:398-415).
+        from rwrt_tpu.models import ray as ray_mod_
+
+        y0 = jnp.asarray(initial_state, dtype)
+        if y0.shape != (5, 3 * source_lon.shape[0] * len(config.zwn)):
+            raise ValueError(f"initial_state shape {y0.shape} mismatch")
+        ug0, vg0 = ray_mod_.group_velocity_at(
+            bg, y0[0], y0[1], y0[2], y0[3], zero_invalid=True
+        )
+    nt = config.nt
+    n_rays = y0.shape[1]
+    y0_full, ug0_full, vg0_full = y0, ug0, vg0
+    lane_to_ray = np.arange(n_rays)
+    if config.compact_rootless:
+        idx = _tracer_mod.compact_lane_indices(np.isfinite(np.asarray(y0[4])))
+        if idx is not None:
+            lane_to_ray = idx
+            take = jnp.asarray(idx)
+            y0 = jnp.take(y0, take, axis=1)
+            ug0 = jnp.take(ug0, take)
+            vg0 = jnp.take(vg0, take)
+
     if mesh is not None:
         from rwrt_tpu.parallel import sharding as sh
 
@@ -96,9 +121,14 @@ def trace_rays_chunked(
         vg0, _ = sh.pad_rays(vg0, n_shards)
         y0 = sh.shard_rays(y0, mesh)
         bg = sh.replicate(bg, mesh)
-
-    nt = config.nt
-    n_rays = y0.shape[1]
+        if lane_to_ray.shape[0] != y0.shape[1]:
+            # padded NaN lanes map past the hist width and are dropped on
+            # write via the mask below; give them out-of-range slots.
+            lane_to_ray = np.concatenate([
+                lane_to_ray,
+                np.arange(y0.shape[1] - lane_to_ray.shape[0]) + n_rays,
+            ])
+    n_lanes = y0.shape[1]
     dt = jnp.asarray(config.tstep, dtype)
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
     from rwrt_tpu.solvers import rk45 as _rk45_mod
@@ -112,26 +142,50 @@ def trace_rays_chunked(
     if verbose:
         run_banner(config, bs.nlon, bs.nlat)
 
+    compacted = lane_to_ray.shape[0] != n_rays or (
+        lane_to_ray != np.arange(n_rays)).any()
+    hist_w = max(n_rays, int(lane_to_ray.max()) + 1 if n_lanes else n_rays)
     hist = {
-        k: np.full((nt, n_rays), np.nan, np.asarray(y0).dtype)
+        k: np.full((nt, hist_w), np.nan, np.asarray(y0).dtype)
         for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
     }
     for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
-        hist[k][0] = np.asarray(y0[i])
-    hist["ug"][0] = np.asarray(ug0)
-    hist["vg"][0] = np.asarray(vg0)
+        hist[k][0, :n_rays] = np.asarray(y0_full[i])
+    hist["ug"][0, :n_rays] = np.asarray(ug0_full)
+    hist["vg"][0, :n_rays] = np.asarray(vg0_full)
+    if compacted and config.integrator == "rk45":
+        # The adaptive solver freezes rootless lanes at their seed state
+        # forever (finite lon/lat/kx, NaN ky/amp/ug/vg; reference
+        # rkf45.py:400-403); fill those rows up front. RK4 NaNs them at
+        # step 1 (reference wr.py:593-618) -- the default NaN prefill.
+        frozen = ~np.isfinite(np.asarray(y0_full[4]))
+        for i, k in enumerate(("lon", "lat", "kx")):
+            hist[k][1:, :n_rays][:, frozen] = (
+                np.asarray(y0_full[i])[frozen][None])
 
     y = y0
-    t = jnp.zeros(n_rays, dtype)
+    t = jnp.zeros(n_lanes, dtype)
     h = None
     start = 1
 
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         step, y_np, t_np, h_np, hist_l = _load(checkpoint_path)
         start = step
-        y = jnp.asarray(y_np)
-        t = jnp.asarray(t_np)
-        h = jnp.asarray(h_np) if h_np.ndim else None
+        if y_np.shape[-1] != n_lanes:
+            raise ValueError(
+                f"checkpoint lane count {y_np.shape[-1]} != {n_lanes}; the "
+                "checkpoint was written with a different compact_rootless "
+                "setting or source configuration"
+            )
+        # Checkpoints store lanes in canonical (sorted-by-ray) order so
+        # resume is independent of any in-run lane sorting; map back to the
+        # current lane order (compaction pads can make lane_to_ray
+        # non-monotonic).
+        rank = np.argsort(np.argsort(lane_to_ray))
+        y = jnp.take(jnp.asarray(y_np), jnp.asarray(rank), axis=1)
+        t = jnp.take(jnp.asarray(t_np), jnp.asarray(rank))
+        h = (jnp.take(jnp.asarray(h_np), jnp.asarray(rank))
+             if h_np.ndim else None)
         for k in hist:
             hist[k][: hist_l[k].shape[0]] = hist_l[k]
         if verbose:
@@ -140,7 +194,7 @@ def trace_rays_chunked(
     if config.integrator == "rk45" and h is None:
         h = initial_step_sizes(bg, y, rtol, atol)
     elif h is None:
-        h = jnp.zeros(n_rays, dtype)
+        h = jnp.zeros(n_lanes, dtype)
 
     # Group-path carry: FSAL derivative and the last saved position (for the
     # haversine kill). Both are recoverable at any chunk boundary: f is
@@ -156,8 +210,6 @@ def trace_rays_chunked(
         f_carry, _ = jax.jit(_ray_mod.rhs)(bg, y, t)
         prev_lon, prev_lat = y[0], y[1]
 
-    lane_to_ray = np.arange(n_rays)
-
     def _resort():
         """Reorder lanes by current grid cell (stable; NaN lanes last)."""
         nonlocal y, t, h, f_carry, prev_lon, prev_lat, lane_to_ray
@@ -171,7 +223,7 @@ def trace_rays_chunked(
         cell = np.clip(ix, 0, w - 1) * hgt + np.clip(iy, 0, hgt - 1)
         cell = np.where(np.isfinite(cell), cell, np.inf)
         order = np.argsort(cell, kind="stable")
-        if np.array_equal(order, np.arange(n_rays)):
+        if np.array_equal(order, np.arange(n_lanes)):
             return
         lane_to_ray = lane_to_ray[order]
 
@@ -201,7 +253,7 @@ def trace_rays_chunked(
     # the initial amplitude -- rootless lanes keep a finite frozen position
     # forever (matching the reference's numpy freeze semantics) and must not
     # count as alive.
-    n_born = int(np.isfinite(np.asarray(y0[4])).sum())
+    n_born = int(np.isfinite(np.asarray(y0_full[4])).sum())
     all_dead_at: Optional[int] = None
 
     progress = Progress(nt - 1) if verbose else None
@@ -214,20 +266,40 @@ def trace_rays_chunked(
         if config.integrator == "rk4":
             t_start = jnp.asarray((step - 1) * config.tstep, dtype)
             y, (ys, ugs, vgs) = _rk4_chunk(bg, y, dt, n, cut_off, t_start)
-            ray_steps = n * n_rays
+            ray_steps = n * n_lanes
         elif config.interval_batch > 1:
-            (y, t, h, f_carry, prev_lon, prev_lat), (ys, ugs, vgs, iters, _) = (
-                _rk45_group_chunk(
+            if mesh is not None:
+                (y, t, h, f_carry, prev_lon, prev_lat), (
+                    ys, ugs, vgs, iters, _) = _tracer_mod._rk45_group_chunk_shardmap(
+                    mesh, bg, y, t, h, f_carry, prev_lon, prev_lat,
+                    t_bounds, cut_off, rtol, atol, min_step,
+                )
+                # iters is per-shard; each iteration advances one shard's
+                # lanes only.
+                ray_steps = int(np.asarray(iters).sum()) * (
+                    n_lanes // mesh.devices.size)
+            else:
+                (y, t, h, f_carry, prev_lon, prev_lat), (
+                    ys, ugs, vgs, iters, _) = _rk45_group_chunk(
                     bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
                     cut_off, rtol, atol, min_step,
                 )
-            )
-            ray_steps = int(np.asarray(iters)) * n_rays
+                ray_steps = int(np.asarray(iters)) * n_lanes
         else:
-            (y, t, h), (ys, ugs, vgs, iters, _) = _rk45_chunk(
-                bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
-            )
-            ray_steps = int(np.asarray(iters).sum()) * n_rays
+            if mesh is not None:
+                (y, t, h), (ys, ugs, vgs, iters, _) = (
+                    _tracer_mod._rk45_chunk_shardmap(
+                        mesh, bg, y, t, h, t_bounds, cut_off, rtol, atol,
+                        min_step,
+                    )
+                )
+                ray_steps = int(np.asarray(iters).sum()) * (
+                    n_lanes // mesh.devices.size)
+            else:
+                (y, t, h), (ys, ugs, vgs, iters, _) = _rk45_chunk(
+                    bg, y, t, h, t_bounds, cut_off, rtol, atol, min_step
+                )
+                ray_steps = int(np.asarray(iters).sum()) * n_lanes
         ys = np.asarray(ys)
         for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
             hist[k][step : step + n, lane_to_ray] = ys[:, i]
@@ -259,10 +331,13 @@ def trace_rays_chunked(
             # semantics of both integrators), so stop integrating (reference
             # wr.py:735-736, 853-855) -- at chunk granularity, with no extra
             # device syncs -- and fill the tail on host.
-            frozen = ~np.isfinite(np.asarray(y0[4]))
-            if frozen.any() and step < nt:
+            frozen = ~np.isfinite(np.asarray(y0_full[4]))
+            if frozen.any() and step < nt and config.integrator == "rk45":
+                # (rk4 NaNs rootless lanes from step 1, so the NaN prefill
+                # already matches its tail.)
                 for i, k in enumerate(("lon", "lat", "kx")):
-                    hist[k][step:, frozen] = np.asarray(y0[i])[frozen][None]
+                    hist[k][step:, :n_rays][:, frozen] = (
+                        np.asarray(y0_full[i])[frozen][None])
             if verbose:
                 print(f"\nall {n_born} born rays terminated by output step "
                       f"{all_dead_at}; stopping early")

@@ -192,6 +192,52 @@ def test_termination_classify_exact(jet_field):
     assert sum(rep.counts.values()) == base.death_step.size
 
 
+def test_auto_chunk_routing(jet_field):
+    """Past the device-memory estimate trace_rays transparently reroutes
+    through the chunked (host-accumulating) driver with equal results."""
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    cfg = RunConfig(integrator="rk45", **CFG)
+    fused = rt.trace_rays(bs, cfg, auto_chunk_bytes=None)
+    routed = rt.trace_rays(bs, cfg, auto_chunk_bytes=1)  # force rerouting
+    _assert_traj_equal(fused, routed)
+    # Default threshold leaves small runs on the fused path (same object
+    # shapes either way; just assert it still runs).
+    small = rt.trace_rays(bs, cfg)
+    _assert_traj_equal(fused, small)
+
+
+@pytest.mark.parametrize("integrator", ["rk4", "rk45"])
+def test_rootless_compaction_invariance(jet_field, integrator):
+    """compact_rootless drops never-born lanes from the device batch and
+    reconstructs their frozen history on host; results must equal the
+    uncompacted run (NaN masks exactly; values within XLA codegen ULP wobble
+    from the different lane count)."""
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    base = dict(CFG)
+    base["zwn"] = (2.0, 4.0, 6.0)  # ensure plenty of rootless slots
+    off = rt.trace_rays(bs, RunConfig(integrator=integrator,
+                                      compact_rootless=False, **base))
+    on = rt.trace_rays(bs, RunConfig(integrator=integrator, **base))
+    n_lanes = np.asarray(off.amp[0]).size
+    n_born = int(np.isfinite(np.asarray(off.amp[0])).sum())
+    assert n_born < n_lanes  # the case is non-trivial
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        x = np.asarray(getattr(off, k))
+        y = np.asarray(getattr(on, k))
+        np.testing.assert_array_equal(np.isnan(x), np.isnan(y), err_msg=k)
+        np.testing.assert_allclose(x, y, rtol=0, atol=1e-6, equal_nan=True,
+                                   err_msg=k)
+    # chunked driver path too
+    ch = trace_rays_chunked(bs, RunConfig(integrator=integrator, **base),
+                            chunk_steps=9, verbose=False)
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(on, k)), np.asarray(getattr(ch, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k)
+
+
 def test_termination_analyze_rootless_not_survivors(jet_field):
     """Rootless lanes (finite frozen seed position, NaN amp) must count as
     'no_root', not as survivors."""
