@@ -10,7 +10,11 @@ import numpy as np
 
 import rwrt_tpu as rt
 from rwrt_tpu.config import RunConfig
-from rwrt_tpu.diagnostics import compute_wavenumber_maps, wave_ray_flux
+from rwrt_tpu.diagnostics import (
+    compute_wavenumber_maps,
+    region_statistics,
+    wave_ray_flux,
+)
 from rwrt_tpu.diagnostics.termination import analyze
 
 HOUR, DAY = 3600.0, 86400.0
@@ -60,6 +64,14 @@ def main():
           float(np.asarray(wrf.flux_u).max()))
     print("propagating-root fraction per zwn:",
           np.round(np.mean(np.asarray(maps.rootnum) > 0, axis=(0, 1)), 3))
+
+    # Fun3 extras (manual section 4): aggregates over rays that reach the box.
+    stats = region_statistics(traj, (150.0, 240.0), (20.0, 60.0), cfg.tstep)
+    print(f"rays reaching the box: {stats.n_passing}, mean arrival "
+          f"{stats.mean_entry_time / DAY:.1f} d, mean along-path speed "
+          f"{stats.mean_speed:.1f} m/s, sources spanning "
+          f"{np.degrees(stats.source_lon.min()):.0f}-"
+          f"{np.degrees(stats.source_lon.max()):.0f}E")
 
 
 if __name__ == "__main__":

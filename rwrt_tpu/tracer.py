@@ -722,6 +722,12 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
 
     # rk45: flatten members into lanes (member-major) over ONE stacked
     # background with per-lane member ids.
+    if members[0].fields.ndim == 4:
+        raise NotImplementedError(
+            "time-varying ensemble members are supported with the rk4 "
+            "integrator (vmapped); the adaptive path's member-offset gather "
+            "assumes static member stacks"
+        )
     inits = [initialize(bg, source_lon, source_lat, zwn,
                         config.root_order) for bg in members]
     y0 = jnp.concatenate([i[0] for i in inits], axis=1)

@@ -115,6 +115,20 @@ def test_no_collectives_in_compiled_hlo(bs):
         assert op not in txt, f"collective {op} found in compiled HLO"
 
 
+def test_dryrun_multichip_entrypoint():
+    """The driver-facing dryrun must run the full grouped sharded path on
+    the 8-device mesh (guards the external compile-check contract)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry", pathlib.Path(__file__).parent.parent
+        / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
 def test_gspmd_barrier_loop_would_collectivize(bs):
     """Sanity check of the assertion above: the OLD GSPMD path (jit over
     sharded inputs, no shard_map) does put a collective in the program --
