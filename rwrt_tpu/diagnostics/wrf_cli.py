@@ -1,0 +1,143 @@
+"""WRF_universal equivalent: the file-level Li-Yang wave-ray-flux driver.
+
+The manual (section 4) describes the reference's WRF postprocessor as three
+function files plus "one main program (WRF_universal)" where "all these
+operations are performed": load the ray-output file, apply Fun1's thresholds,
+Fun2's target-region selection, and compute Fun3's WRF maps and region
+aggregates. The code is absent from the reference snapshot (SURVEY.md C22);
+this module is that main program over this framework's trajectory files
+(NetCDF or .npz, the write_trajectories schema):
+
+    python -m rwrt_tpu.diagnostics.wrf_cli --traj traj.nc --out wrf.npz \
+        --lon-range 150 240 --lat-range 20 60 --speed-max 120 --mwn-max 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from rwrt_tpu.constants import deg2rad
+
+
+def load_ray_output(path: str):
+    """Read a trajectory file (write_trajectories schema) into the
+    RayTrajectories pytree the diagnostics consume."""
+    import jax.numpy as jnp
+
+    from rwrt_tpu.io import ncio
+    from rwrt_tpu.tracer import RayTrajectories
+
+    d = ncio.load_trajectories(path)
+    return RayTrajectories(
+        lon=jnp.asarray(d["rlon"] * deg2rad),
+        lat=jnp.asarray(d["rlat"] * deg2rad),
+        kx=jnp.asarray(d["rzwn"]),
+        ky=jnp.asarray(d["rmwn"]),
+        amp=jnp.asarray(d["ramp"]),
+        ug=jnp.asarray(d["rug"]),
+        vg=jnp.asarray(d["rvg"]),
+    )
+
+
+def write_flux(wrf, path: str, stats=None) -> None:
+    """Write the flux maps (+ optional region aggregates) to .npz or NetCDF."""
+    from rwrt_tpu.io import ncio
+
+    data = {
+        "lon": np.asarray(wrf.lon_centers),
+        "lat": np.asarray(wrf.lat_centers),
+        "flux_u": np.asarray(wrf.flux_u),
+        "flux_v": np.asarray(wrf.flux_v),
+        "amp_sum": np.asarray(wrf.amp_sum),
+        "count": np.asarray(wrf.count),
+    }
+    if stats is not None:
+        data.update({
+            "n_passing": np.asarray(stats.n_passing),
+            "mean_entry_time": np.asarray(stats.mean_entry_time),
+            "mean_speed": np.asarray(stats.mean_speed),
+            "source_lon": np.asarray(stats.source_lon),
+            "source_lat": np.asarray(stats.source_lat),
+        })
+    if str(path).endswith(".npz") or not ncio.HAVE_NETCDF:
+        if not str(path).endswith(".npz"):
+            path = str(path) + ".npz"
+        np.savez_compressed(path, **data)
+        return
+    import netCDF4 as _nc  # pragma: no cover - environment dependent
+
+    with _nc.Dataset(path, "w", format="NETCDF4") as ds:
+        ds.createDimension("lon", data["lon"].shape[0])
+        ds.createDimension("lat", data["lat"].shape[0])
+        ds.createVariable("lon", "f8", ("lon",))[:] = data["lon"]
+        ds.createVariable("lat", "f8", ("lat",))[:] = data["lat"]
+        for name in ("flux_u", "flux_v", "amp_sum", "count"):
+            ds.createVariable(name, "f8", ("lon", "lat"),
+                              zlib=True, complevel=4)[:] = data[name]
+        if stats is not None:
+            ds.n_passing = int(stats.n_passing)
+            ds.mean_entry_time = float(stats.mean_entry_time)
+            ds.mean_speed = float(stats.mean_speed)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="rwrt_tpu.wrf",
+        description="Li-Yang wave-ray flux over a trajectory file "
+                    "(WRF_universal equivalent; manual section 4)",
+    )
+    ap.add_argument("--traj", required=True, help="trajectory file (nc/npz)")
+    ap.add_argument("--out", required=True, help="output flux file (nc/npz)")
+    ap.add_argument("--nlon-bins", type=int, default=360)
+    ap.add_argument("--nlat-bins", type=int, default=90)
+    ap.add_argument("--weight", default="amp_cg",
+                    choices=("count", "cg", "amp_cg"))
+    # Fun1's optional thresholds.
+    ap.add_argument("--speed-min", type=float, default=None,
+                    help="truncation group-speed lower bound (m/s)")
+    ap.add_argument("--speed-max", type=float, default=None,
+                    help="truncation group-speed upper bound (m/s)")
+    ap.add_argument("--mwn-max", type=float, default=None,
+                    help="drop points with |meridional wavenumber| >= this")
+    ap.add_argument("--amp-min", type=float, default=0.0)
+    ap.add_argument("--amp-max", type=float, default=float("inf"))
+    # Fun2's target region.
+    ap.add_argument("--lon-range", type=float, nargs=2, default=None)
+    ap.add_argument("--lat-range", type=float, nargs=2, default=None)
+    ap.add_argument("--tstep", type=float, default=7200.0,
+                    help="output cadence of the trajectory file (s), for "
+                         "the region aggregates")
+    args = ap.parse_args(argv)
+
+    from rwrt_tpu.diagnostics import flux as flux_mod
+
+    traj = load_ray_output(args.traj)
+    wrf = flux_mod.wave_ray_flux(
+        traj, nlon_bins=args.nlon_bins, nlat_bins=args.nlat_bins,
+        amp_min=args.amp_min, amp_max=args.amp_max,
+        speed_min=args.speed_min, speed_max=args.speed_max,
+        mwn_max=args.mwn_max,
+        lon_range=args.lon_range, lat_range=args.lat_range,
+        weight=args.weight,
+    )
+    stats = None
+    if args.lon_range is not None and args.lat_range is not None:
+        stats = flux_mod.region_statistics(
+            traj, args.lon_range, args.lat_range, args.tstep)
+        print(json.dumps({
+            "n_passing": int(stats.n_passing),
+            "mean_entry_time_h": round(stats.mean_entry_time / 3600.0, 2),
+            "mean_speed_m_s": round(stats.mean_speed, 2),
+        }))
+    write_flux(wrf, args.out, stats)
+    print(f"wrote {args.out}: {int(np.asarray(wrf.count).sum())} points "
+          f"binned on ({args.nlon_bins}, {args.nlat_bins})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,6 +131,30 @@ def test_fun3_flux_weights_hand_computed():
     assert int(np.asarray(wrf.count).sum()) == 5
 
 
+def test_wrf_universal_cli(tmp_path):
+    """The WRF_universal-equivalent file driver: trajectory file in, flux
+    maps + region aggregates out."""
+    from rwrt_tpu.diagnostics import wrf_cli
+    from rwrt_tpu.io import ncio
+
+    traj = _toy_traj()
+    tpath = str(tmp_path / "traj.npz")
+    ncio.write_trajectories(traj, tpath)
+    opath = str(tmp_path / "wrf.npz")
+    rc = wrf_cli.main([
+        "--traj", tpath, "--out", opath,
+        "--lon-range", "15", "25", "--lat-range", "-2", "10",
+        "--mwn-max", "100", "--weight", "count",
+        "--tstep", str(2 * HOUR),
+    ])
+    assert rc == 0
+    with np.load(opath) as d:
+        # mwn_max drops slot-0 step 3; region selection keeps both live rays.
+        assert int(d["count"].sum()) == 5
+        assert int(d["n_passing"]) == 2
+        np.testing.assert_allclose(float(d["mean_entry_time"]), 2 * HOUR)
+
+
 def test_longitude_three_circle_scope():
     """A ray circling the globe eastward keeps accumulating longitude past
     360 deg instead of wrapping (manual: -360..720 scope)."""
