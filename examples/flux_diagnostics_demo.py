@@ -67,11 +67,14 @@ def main():
 
     # Fun3 extras (manual section 4): aggregates over rays that reach the box.
     stats = region_statistics(traj, (150.0, 240.0), (20.0, 60.0), cfg.tstep)
-    print(f"rays reaching the box: {stats.n_passing}, mean arrival "
-          f"{stats.mean_entry_time / DAY:.1f} d, mean along-path speed "
-          f"{stats.mean_speed:.1f} m/s, sources spanning "
-          f"{np.degrees(stats.source_lon.min()):.0f}-"
-          f"{np.degrees(stats.source_lon.max()):.0f}E")
+    if stats.n_passing:
+        print(f"rays reaching the box: {stats.n_passing}, mean arrival "
+              f"{stats.mean_entry_time / DAY:.1f} d, mean along-path speed "
+              f"{stats.mean_speed:.1f} m/s, sources spanning "
+              f"{np.degrees(stats.source_lon.min()):.0f}-"
+              f"{np.degrees(stats.source_lon.max()):.0f}E")
+    else:
+        print("no rays reach the target box")
 
 
 if __name__ == "__main__":

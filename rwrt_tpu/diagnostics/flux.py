@@ -108,7 +108,12 @@ def region_mask(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
 
 
 def _in_box(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
-    """(nt, 3, nsource, nzwn) bool: finite point inside the target box."""
+    """(nt, 3, nsource, nzwn) bool: LIVE point inside the target box.
+
+    Gates on amplitude finiteness, not just position: never-born rootless
+    lanes keep a finite frozen seed position at every step (the integrators'
+    freeze semantics), and must not count as rays passing through the box.
+    """
     lon_deg = (traj.lon / deg2rad) % 360.0
     lat_deg = traj.lat / deg2rad
     lo0, lo1 = lon_range[0] % 360.0, lon_range[1] % 360.0
@@ -117,7 +122,8 @@ def _in_box(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
     else:  # box crossing the date line
         in_lon = (lon_deg >= lo0) | (lon_deg <= lo1)
     in_box = in_lon & (lat_deg >= lat_range[0]) & (lat_deg <= lat_range[1])
-    return in_box & jnp.isfinite(traj.lon) & jnp.isfinite(traj.lat)
+    return (in_box & jnp.isfinite(traj.lon) & jnp.isfinite(traj.lat)
+            & jnp.isfinite(traj.amp))
 
 
 def region_statistics(

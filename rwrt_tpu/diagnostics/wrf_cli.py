@@ -43,8 +43,10 @@ def load_ray_output(path: str):
     )
 
 
-def write_flux(wrf, path: str, stats=None) -> None:
-    """Write the flux maps (+ optional region aggregates) to .npz or NetCDF."""
+def write_flux(wrf, path: str, stats=None) -> str:
+    """Write the flux maps (+ optional region aggregates) to .npz or NetCDF.
+
+    Returns the path actually written (npz fallback appends '.npz')."""
     from rwrt_tpu.io import ncio
 
     data = {
@@ -62,12 +64,13 @@ def write_flux(wrf, path: str, stats=None) -> None:
             "mean_speed": np.asarray(stats.mean_speed),
             "source_lon": np.asarray(stats.source_lon),
             "source_lat": np.asarray(stats.source_lat),
+            "first_entry_step": np.asarray(stats.first_entry_step),
         })
     if str(path).endswith(".npz") or not ncio.HAVE_NETCDF:
         if not str(path).endswith(".npz"):
             path = str(path) + ".npz"
         np.savez_compressed(path, **data)
-        return
+        return str(path)
     import netCDF4 as _nc  # pragma: no cover - environment dependent
 
     with _nc.Dataset(path, "w", format="NETCDF4") as ds:
@@ -79,9 +82,24 @@ def write_flux(wrf, path: str, stats=None) -> None:
             ds.createVariable(name, "f8", ("lon", "lat"),
                               zlib=True, complevel=4)[:] = data[name]
         if stats is not None:
+            fes = data["first_entry_step"]
+            nroot, nsource, nzwn = fes.shape
+            for dim, n in (("root", nroot), ("source", nsource),
+                           ("zwn", nzwn), ("passing", max(
+                               data["source_lon"].shape[0], 1))):
+                ds.createDimension(dim, n)
+            ds.createVariable("first_entry_step", "i4",
+                              ("root", "source", "zwn"))[:] = fes
+            np_ = data["source_lon"].shape[0]
+            v_lon = ds.createVariable("source_lon", "f8", ("passing",))
+            v_lat = ds.createVariable("source_lat", "f8", ("passing",))
+            if np_:
+                v_lon[:] = data["source_lon"]
+                v_lat[:] = data["source_lat"]
             ds.n_passing = int(stats.n_passing)
             ds.mean_entry_time = float(stats.mean_entry_time)
             ds.mean_speed = float(stats.mean_speed)
+    return str(path)
 
 
 def main(argv=None) -> int:
@@ -128,13 +146,17 @@ def main(argv=None) -> int:
     if args.lon_range is not None and args.lat_range is not None:
         stats = flux_mod.region_statistics(
             traj, args.lon_range, args.lat_range, args.tstep)
+
+        def _num(x, digits):
+            return round(float(x), digits) if np.isfinite(x) else None
+
         print(json.dumps({
             "n_passing": int(stats.n_passing),
-            "mean_entry_time_h": round(stats.mean_entry_time / 3600.0, 2),
-            "mean_speed_m_s": round(stats.mean_speed, 2),
+            "mean_entry_time_h": _num(stats.mean_entry_time / 3600.0, 2),
+            "mean_speed_m_s": _num(stats.mean_speed, 2),
         }))
-    write_flux(wrf, args.out, stats)
-    print(f"wrote {args.out}: {int(np.asarray(wrf.count).sum())} points "
+    written = write_flux(wrf, args.out, stats)
+    print(f"wrote {written}: {int(np.asarray(wrf.count).sum())} points "
           f"binned on ({args.nlon_bins}, {args.nlat_bins})")
     return 0
 

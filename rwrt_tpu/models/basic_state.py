@@ -101,12 +101,17 @@ def _check_uniform_axis(coord: np.ndarray, step: float, name: str,
             "automatically)"
         )
     spacing = np.diff(coord)
-    tol = 1e-5 * step
-    if np.any(np.abs(spacing - step) > tol):
+    # Absolute floor of ~4e-7 rad: coordinate variables are often STORED as
+    # float32 in NetCDF files (rounding each value by up to eps32/2*|coord|
+    # ~ 6e-8 rad), which must not reject a genuinely uniform grid. Gaussian
+    # grids deviate by ~1e-3 rad and are still caught.
+    tol = max(1e-5 * step, 4e-7)
+    dev = float(np.abs(spacing - step).max())
+    if dev > tol:
         raise ValueError(
             f"{name} axis is not the uniform {expect} grid the compute "
-            f"pipeline assumes: spacing spans [{spacing.min():.3e}, "
-            f"{spacing.max():.3e}] rad but the pipeline uses {step:.3e} rad. "
+            f"pipeline assumes: spacing deviates from {step:.6e} rad by up "
+            f"to {dev:.3e} rad (tolerance {tol:.1e}). "
             "Regrid first: basic_state.regrid_to_uniform(u, v, lat, lon)."
         )
 

@@ -131,6 +131,29 @@ def test_fun3_flux_weights_hand_computed():
     assert int(np.asarray(wrf.count).sum()) == 5
 
 
+def test_rootless_lanes_do_not_pass_regions():
+    """Never-born rootless lanes keep a finite frozen seed position; they
+    must not count as rays passing through a target box (review finding)."""
+    shape = (3, 2, 1, 1)
+    lon = np.full(shape, np.radians(20.0))
+    lat = np.zeros(shape)
+    amp = np.full(shape, np.nan)
+    amp[:, 0] = 1.0  # slot 0 born; slot 1 rootless, frozen inside the box
+    ones = np.ones(shape)
+    traj = RayTrajectories(*(jnp.asarray(a) for a in (
+        lon, lat, 3 * ones, ones, amp, 10 * ones, 0 * ones)))
+    assert int(np.asarray(flux_mod.region_mask(
+        traj, (15.0, 25.0), (-5.0, 5.0))).sum()) == 1
+    stats = flux_mod.region_statistics(traj, (15.0, 25.0), (-5.0, 5.0),
+                                       2 * HOUR)
+    assert stats.n_passing == 1
+    # Empty region: aggregates are NaN, sources empty -- no crash.
+    none = flux_mod.region_statistics(traj, (200.0, 210.0), (-5.0, 5.0),
+                                      2 * HOUR)
+    assert none.n_passing == 0 and np.isnan(none.mean_entry_time)
+    assert none.source_lon.size == 0
+
+
 def test_wrf_universal_cli(tmp_path):
     """The WRF_universal-equivalent file driver: trajectory file in, flux
     maps + region aggregates out."""

@@ -78,6 +78,17 @@ def test_gaussian_grid_refused(jet_field):
         rt.prepare(u, v, np.linspace(-1.0, 1.0, lat.shape[0]), lon)
 
 
+def test_float32_stored_coordinates_accepted(jet_field):
+    """Coordinate variables are often stored as float32 in NetCDF; a
+    genuinely uniform grid round-tripped through f32 must not be rejected
+    (review finding)."""
+    u, v, lat, lon = jet_field
+    lat32 = lat.astype(np.float32).astype(np.float64)
+    lon32 = lon.astype(np.float32).astype(np.float64)
+    bs = rt.prepare(u, v, lat32, lon32)
+    assert bs.nlat == lat.shape[0]
+
+
 def test_regrid_to_uniform(jet_field):
     """Gaussian-grid input regrids onto the uniform grid within bilinear
     interpolation error of the analytic field."""
