@@ -388,8 +388,21 @@ def _ray_specs():
     }
 
 
+def _bg_spec(sp, member_sharded: bool):
+    """in_spec (pytree prefix) for a Background: fully replicated, except
+    that ensembles' per-lane member_ids shard with the rays."""
+    if not member_sharded:
+        return sp["rep"]
+    return Background(
+        fields=sp["rep"], lon0=sp["rep"], lat0=sp["rep"], dx=sp["rep"],
+        dy=sp["rep"], freq=sp["rep"], bg_t0=sp["rep"], bg_dt=sp["rep"],
+        member_ids=sp["lane"],
+    )
+
+
 @functools.lru_cache(maxsize=None)
-def _make_rk45_sharded_fn(mesh, nt: int, group: int):
+def _make_rk45_sharded_fn(mesh, nt: int, group: int,
+                          member_sharded: bool = False):
     """Build (once per (mesh, nt, group)) the shard_mapped full adaptive run.
 
     Under plain GSPMD the controller's ``jnp.any(~done)`` loop condition is a
@@ -425,8 +438,9 @@ def _make_rk45_sharded_fn(mesh, nt: int, group: int):
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["rep"],
-                  sp["rep"], sp["rep"], sp["rep"], sp["rep"]),
+        in_specs=(_bg_spec(sp, member_sharded), sp["l2"], sp["lane"],
+                  sp["lane"], sp["rep"], sp["rep"], sp["rep"], sp["rep"],
+                  sp["rep"]),
         out_specs=(sp["l3"], sp["l2"], sp["l2"], sp["shard"], sp["shard"]),
     ))
 
@@ -439,7 +453,8 @@ def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     (n_shards, n_chunks) -- per-shard device-loop counts (they differ; that
     is the point).
     """
-    fn = _make_rk45_sharded_fn(mesh, nt, group)
+    fn = _make_rk45_sharded_fn(mesh, nt, group,
+                               member_sharded=bg.member_ids is not None)
     return fn(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step)
 
 
@@ -670,7 +685,7 @@ def _traj_from(ys, ugs, vgs, reshape):
 
 
 def trace_rays_ensemble(bs_members, config: RunConfig,
-                        source_lon=None, source_lat=None):
+                        source_lon=None, source_lat=None, mesh=None):
     """Ensemble sweep over multiple background states (BASELINE.json config
     5: e.g. one member per reanalysis year). Results are identical to
     per-member trace_rays runs (tests/test_time_varying.py,
@@ -686,7 +701,10 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
       (interp.sample_raw_packed_member). The group-asynchronous adaptive
       controller already decouples per-lane progress, so a fast member never
       waits on a slow one -- unlike a vmap, whose while_loop trip count
-      would be the max over members.
+      would be the max over members. With ``mesh`` the flattened lanes (and
+      their member ids) shard over the 'rays' axis through the same
+      collective-free shard_map runner as single runs; the stacked member
+      fields replicate.
     """
     config.validate()
     dtype = bs_members[0].fields.dtype
@@ -748,7 +766,25 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
         dtype)
     rtol = rk45_mod.validate_tol(config.rtol, dtype)
     atol = jnp.asarray(config.atol, dtype)
-    if config.interval_batch > 1 and nt > 2:
+    n_flat = y0.shape[1]
+    if mesh is not None:
+        from rwrt_tpu.parallel import sharding as sh
+
+        n_shards = mesh.devices.size
+        y0, _ = sh.pad_rays(y0, n_shards)
+        ug0, _ = sh.pad_rays(ug0, n_shards)
+        vg0, _ = sh.pad_rays(vg0, n_shards)
+        pad = y0.shape[1] - n_flat
+        if pad:
+            ens_bg = ens_bg._replace(member_ids=jnp.concatenate([
+                ens_bg.member_ids,
+                jnp.zeros(pad, ens_bg.member_ids.dtype),
+            ]))
+        ys, ugs, vgs, _, _ = _run_rk45_sharded(
+            mesh, ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
+            min_step, group=min(config.interval_batch, nt - 1),
+        )
+    elif config.interval_batch > 1 and nt > 2:
         ys, ugs, vgs, _, _ = _run_rk45_grouped(
             ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
             group=min(config.interval_batch, nt - 1),

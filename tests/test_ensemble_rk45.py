@@ -45,6 +45,26 @@ def test_ensemble_rk45_matches_separate_runs(members, interval_batch):
                                        equal_nan=True, err_msg=k)
 
 
+def test_ensemble_rk45_sharded(members):
+    """Multi-chip ensembles: flattened lanes + member ids shard over the
+    'rays' axis; results match the single-device ensemble (NaN masks exact,
+    values within codegen ULP wobble)."""
+    from rwrt_tpu.parallel import sharding as sh
+    from rwrt_tpu.tracer import trace_rays_ensemble
+
+    cfg = RunConfig(integrator="rk45", **CFG)
+    single = trace_rays_ensemble(members, cfg)
+    sharded = trace_rays_ensemble(members, cfg, mesh=sh.make_mesh(8))
+    for a, b in zip(single, sharded):
+        for k in ("lon", "lat", "ky", "amp", "ug", "vg"):
+            x = np.asarray(getattr(a, k))
+            y = np.asarray(getattr(b, k))
+            np.testing.assert_array_equal(np.isnan(x), np.isnan(y),
+                                          err_msg=k)
+            np.testing.assert_allclose(x, y, rtol=0, atol=1e-6,
+                                       equal_nan=True, err_msg=k)
+
+
 def test_ensemble_members_actually_differ(members):
     from rwrt_tpu.tracer import trace_rays_ensemble
 
