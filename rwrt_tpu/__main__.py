@@ -35,13 +35,8 @@ def main(argv=None):
     )
     cfg = RunConfig(**raw)
 
-    mesh = None
-    if args.mesh:
-        from rwrt_tpu.parallel.sharding import make_mesh
-
-        mesh = make_mesh()
-
-    run(cfg, paths, mesh=mesh, chunked=args.chunked,
+    # mesh=True builds the mesh inside run() over cfg.mesh_devices devices.
+    run(cfg, paths, mesh=True if args.mesh else None, chunked=args.chunked,
         checkpoint_path=args.checkpoint)
     return 0
 

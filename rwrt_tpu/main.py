@@ -31,8 +31,16 @@ class RunPaths:
 def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         chunked: bool = False, checkpoint_path: Optional[str] = None
         ) -> RayTrajectories:
-    """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89)."""
+    """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89).
+
+    mesh: a jax.sharding.Mesh, or True to build one over
+    config.mesh_devices local devices (None = all).
+    """
     config.validate()
+    if mesh is True:
+        from rwrt_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(config.mesh_devices)
     u, v, lat, lon = ncio.load_wind(paths.inputuv, config.read_dtype)
     bs = prepare(
         u, v, lat, lon, xcyclic=config.xcyclic,
