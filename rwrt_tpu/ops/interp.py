@@ -120,6 +120,88 @@ def bilinear_gather_masked(
     return jnp.where(any_missing, mean_val, interp_val)
 
 
+def linint2_point(xi, yi, fi, xo, yo, *, xcyclic=True,
+                  fo_missing=jnp.nan, nopt=1) -> jnp.ndarray:
+    """General bilinear point interpolation on MONOTONIC (possibly
+    non-uniform) axes -- the vectorized counterpart of the reference's
+    scalar linint2_point (reference interpolation.py:251-351), semantics
+    preserved exactly:
+
+    - x-cyclic handling via the reference's period convention
+      period = (xi[-1] - xi[0]) + (xi[1] - xi[0]) and one extension column
+      on each side (interpolation.py:283-299);
+    - interval lookup by searchsorted - 1, clamped (interpolation.py:306-323);
+    - out-of-range points return fo_missing (y always; x when not cyclic);
+    - missing corners are detected by EQUALITY with fo_missing
+      (interpolation.py:330-334) -- note this matches the reference, where a
+      NaN sentinel therefore never triggers the missing branch and simply
+      propagates through the arithmetic; nopt == -1 substitutes the plain
+      mean of the non-missing corners (the docstring's "distance-weighted"
+      fallback is a mean in the reference too, interpolation.py:336-338);
+    - the two-step lerp formula (f11 + t*(f21 - f11), then in y) is kept for
+      bit-level parity with the reference's rounding.
+
+    The HOT path does not use this (uniform global grids take the
+    fractional-index fast path, like the reference's own batched dialect);
+    this is the diagnostic-grade sampler for arbitrary monotonic grids.
+
+    Args:
+      xi: (nx,) ascending x coordinates; yi: (ny,) ascending y coordinates.
+      fi: (nx, ny) field.
+      xo, yo: (R,) query points.
+
+    Returns:
+      (R,) interpolated values.
+    """
+    xi = jnp.asarray(xi)
+    yi = jnp.asarray(yi)
+    fi = jnp.asarray(fi)
+    xo = jnp.asarray(xo)
+    yo = jnp.asarray(yo)
+
+    if xcyclic:
+        dx0 = xi[1] - xi[0]
+        period = (xi[-1] - xi[0]) + dx0
+        xo = ((xo - xi[0]) % period) + xi[0]
+        xi_use = jnp.concatenate([xi[:1] - dx0, xi, xi[-1:] + dx0])
+        fi_use = jnp.concatenate([fi[-1:], fi, fi[:1]], axis=0)
+    else:
+        xi_use = xi
+        fi_use = fi
+
+    x_oob = (xo < xi_use[0]) | (xo > xi_use[-1])
+    y_oob = (yo < yi[0]) | (yo > yi[-1])
+
+    nx = jnp.clip(jnp.searchsorted(xi_use, xo) - 1, 0, xi_use.shape[0] - 2)
+    ny = jnp.clip(jnp.searchsorted(yi, yo) - 1, 0, yi.shape[0] - 2)
+
+    f11 = fi_use[nx, ny]
+    f21 = fi_use[nx + 1, ny]
+    f12 = fi_use[nx, ny + 1]
+    f22 = fi_use[nx + 1, ny + 1]
+
+    t = (xo - xi_use[nx]) / (xi_use[nx + 1] - xi_use[nx])
+    u = (yo - yi[ny]) / (yi[ny + 1] - yi[ny])
+    f_low = f11 + t * (f21 - f11)
+    f_high = f12 + t * (f22 - f12)
+    fo = f_low + u * (f_high - f_low)
+
+    corners = (f11, f21, f12, f22)
+    miss = sum((c == fo_missing for c in corners), start=jnp.zeros_like(fo,
+                                                                        bool))
+    any_missing = miss > 0
+    if nopt == -1:
+        valid = [(c != fo_missing) for c in corners]
+        n_valid = sum(v.astype(fo.dtype) for v in valid)
+        mean_val = sum(jnp.where(v, c, 0.0) for c, v in zip(corners, valid))
+        mean_val = jnp.where(n_valid > 0, mean_val / jnp.maximum(n_valid, 1.0),
+                             fo_missing)
+        fo = jnp.where(any_missing, mean_val, fo)
+    else:
+        fo = jnp.where(any_missing, fo_missing, fo)
+    return jnp.where(x_oob | y_oob, fo_missing, fo)
+
+
 def sample_raw(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
     """Interpolate the raw 18-field stack at (lon, lat) points.
 
