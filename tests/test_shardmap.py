@@ -115,6 +115,24 @@ def test_no_collectives_in_compiled_hlo(bs):
         assert op not in txt, f"collective {op} found in compiled HLO"
 
 
+def test_checkpoint_resume_under_mesh(bs, tmp_path):
+    """Kill + resume a sharded chunked run; must equal the uninterrupted
+    sharded run exactly (the checkpoint stores canonical lane order, and
+    compaction pads/mesh pads must round-trip)."""
+    cfg = RunConfig(integrator="rk45", **CFG)
+    mesh = sh.make_mesh(8)
+    full = trace_rays_chunked(bs, cfg, chunk_steps=10, verbose=False,
+                              mesh=mesh)
+    ckpt = str(tmp_path / "mesh.npz")
+    partial = RunConfig(**{**CFG, "ttotal": 2 * DAY, "integrator": "rk45"})
+    trace_rays_chunked(bs, partial, chunk_steps=10, verbose=False,
+                       mesh=mesh, checkpoint_path=ckpt)
+    resumed = trace_rays_chunked(bs, cfg, chunk_steps=10, verbose=False,
+                                 mesh=mesh, checkpoint_path=ckpt,
+                                 resume=True)
+    _assert_traj_equal(full, resumed, atol=0)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver-facing dryrun must run the full grouped sharded path on
     the 8-device mesh (guards the external compile-check contract)."""
