@@ -115,6 +115,21 @@ def test_no_collectives_in_compiled_hlo(bs):
         assert op not in txt, f"collective {op} found in compiled HLO"
 
 
+def test_time_varying_under_mesh(jet_field):
+    """Time-varying backgrounds through the sharded adaptive runner."""
+    from rwrt_tpu.models.basic_state import prepare_time_varying
+
+    u, v, lat, lon = jet_field
+    tv = prepare_time_varying(
+        np.stack([u, 1.3 * u]), np.stack([v, v]), lat, lon,
+        bg_t0=0.0, bg_dt=2 * DAY, cal_dtype="float64",
+    )
+    cfg = RunConfig(integrator="rk45", **{**CFG, "ttotal": 3 * DAY})
+    single = rt.trace_rays(tv, cfg)
+    sharded = rt.trace_rays(tv, cfg, mesh=sh.make_mesh(8))
+    _assert_traj_equal(single, sharded)
+
+
 def test_checkpoint_resume_under_mesh(bs, tmp_path):
     """Kill + resume a sharded chunked run; must equal the uninterrupted
     sharded run exactly (the checkpoint stores canonical lane order, and
