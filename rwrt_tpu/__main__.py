@@ -23,6 +23,12 @@ def main(argv=None):
                     help="chunked driver with progress reporting")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint file for resumable runs")
+    ap.add_argument("--wnmaps", default=None, metavar="PATH",
+                    help="also compute and write the grid-wide wavenumber "
+                         "diagnostics (stationary/non-stationary m-roots, "
+                         "rootnum, group velocities, Ks) for the configured "
+                         "zwn set -- the reference's standalone WN product "
+                         "(wn.py:21-135)")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -38,6 +44,21 @@ def main(argv=None):
     # mesh=True builds the mesh inside run() over cfg.mesh_devices devices.
     run(cfg, paths, mesh=True if args.mesh else None, chunked=args.chunked,
         checkpoint_path=args.checkpoint)
+
+    if args.wnmaps:
+        import numpy as np
+
+        from rwrt_tpu.diagnostics import compute_wavenumber_maps
+        from rwrt_tpu.io import ncio
+        from rwrt_tpu.models.basic_state import prepare
+
+        u, v, lat, lon = ncio.load_wind(paths.inputuv, cfg.read_dtype)
+        bs = prepare(u, v, lat, lon, xcyclic=cfg.xcyclic,
+                     read_dtype=cfg.read_dtype, cal_dtype=cfg.cal_dtype)
+        zwn = np.asarray(cfg.zwn_array())
+        maps = compute_wavenumber_maps(bs, zwn, freq=cfg.freq)
+        ncio.write_wavenumber_maps(maps, bs, zwn, args.wnmaps)
+        print(f"wrote wavenumber maps to {args.wnmaps}")
     return 0
 
 
