@@ -138,3 +138,10 @@ def test_cli_end_to_end(tmp_path, jet_field):
     assert cli_main(["--config", cfg_path]) == 0
     out = ncio.load_trajectories(str(tmp_path / "rays.npz"))
     assert out["rlon"].shape[0] == 13
+
+    # --wnmaps: the standalone grid-wide wavenumber product.
+    wn_path = str(tmp_path / "wn.npz")
+    assert cli_main(["--config", cfg_path, "--wnmaps", wn_path]) == 0
+    with np.load(wn_path) as ds:
+        assert ds["mwn"].shape == (u.shape[0], u.shape[1], 1, 3)
+        assert "KS" in ds.files

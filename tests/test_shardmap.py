@@ -115,6 +115,15 @@ def test_no_collectives_in_compiled_hlo(bs):
         assert op not in txt, f"collective {op} found in compiled HLO"
 
 
+def test_chunked_rk4_under_mesh(bs):
+    """The fixed-step chunked driver under a mesh (plain GSPMD path)."""
+    cfg = RunConfig(integrator="rk4", **CFG)
+    fused = rt.trace_rays(bs, cfg)
+    chunked = trace_rays_chunked(bs, cfg, chunk_steps=7, verbose=False,
+                                 mesh=sh.make_mesh(8))
+    _assert_traj_equal(fused, chunked, atol=1e-9)
+
+
 def test_time_varying_under_mesh(jet_field):
     """Time-varying backgrounds through the sharded adaptive runner."""
     from rwrt_tpu.models.basic_state import prepare_time_varying
