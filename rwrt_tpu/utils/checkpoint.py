@@ -65,6 +65,7 @@ def trace_rays_chunked(
     mesh=None,
     sort_rays: bool = False,
     initial_state=None,
+    stream_dir: Optional[str] = None,
 ) -> RayTrajectories:
     """Like tracer.trace_rays but chunked, with progress + checkpointing.
 
@@ -74,6 +75,12 @@ def trace_rays_chunked(
     gather touches the field stack in near-sorted order, and dead (NaN) rays
     cluster at the end. History is written back through the lane->ray map so
     outputs are in the original order.
+
+    stream_dir: stream the history to disk instead of holding it in host
+    RAM -- one memmapped ``<var>.npy`` per output variable, written chunk by
+    chunk (a 90-day 100k-ray float32 run is ~3 GB of history). The returned
+    trajectories are memmap-backed numpy arrays; convert with
+    ``ncio.write_trajectories`` as usual or reopen the .npy files directly.
     """
     config.validate()
     dtype = bs.fields.dtype
@@ -145,10 +152,43 @@ def trace_rays_chunked(
     compacted = lane_to_ray.shape[0] != n_rays or (
         lane_to_ray != np.arange(n_rays)).any()
     hist_w = max(n_rays, int(lane_to_ray.max()) + 1 if n_lanes else n_rays)
-    hist = {
-        k: np.full((nt, hist_w), np.nan, np.asarray(y0).dtype)
-        for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
-    }
+    hist_dtype = np.asarray(y0).dtype
+    if stream_dir:
+        os.makedirs(stream_dir, exist_ok=True)
+        resuming = bool(checkpoint_path and resume
+                        and os.path.exists(checkpoint_path))
+
+        def _alloc(k):
+            path = os.path.join(stream_dir, f"{k}.npy")
+            old = None
+            if resuming and os.path.exists(path):
+                try:
+                    old = np.load(path, mmap_mode="r")
+                except (ValueError, OSError):
+                    old = None
+                if old is not None and (old.ndim != 2
+                                        or old.shape[1] != hist_w):
+                    old = None
+            m = np.lib.format.open_memmap(
+                path + ".new", mode="w+", dtype=hist_dtype,
+                shape=(nt, hist_w))
+            m[:] = np.nan
+            if old is not None:
+                rows = min(old.shape[0], nt)
+                m[:rows] = old[:rows]
+                del old
+            m.flush()
+            # The mapping follows the inode, so the rename keeps m valid.
+            os.replace(path + ".new", path)
+            return m
+
+        hist = {k: _alloc(k)
+                for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")}
+    else:
+        hist = {
+            k: np.full((nt, hist_w), np.nan, hist_dtype)
+            for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+        }
     for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
         hist[k][0, :n_rays] = np.asarray(y0_full[i])
     hist["ug"][0, :n_rays] = np.asarray(ug0_full)
@@ -186,7 +226,9 @@ def trace_rays_chunked(
         t = jnp.take(jnp.asarray(t_np), jnp.asarray(rank))
         h = (jnp.take(jnp.asarray(h_np), jnp.asarray(rank))
              if h_np.ndim else None)
-        for k in hist:
+        # Streamed runs keep their history in the stream_dir memmaps (the
+        # checkpoint then carries no hist_* arrays).
+        for k in hist_l:
             hist[k][: hist_l[k].shape[0]] = hist_l[k]
         if verbose:
             print(f"resumed from {checkpoint_path} at step {start}")
@@ -322,8 +364,12 @@ def trace_rays_chunked(
                 checkpoint_path, step,
                 np.asarray(y)[:, inv], np.asarray(t)[inv],
                 np.asarray(h)[inv] if h is not None else np.zeros(()),
-                {k: v[:step] for k, v in hist.items()},
+                # Streamed history is already durable in its own memmaps.
+                {} if stream_dir else {k: v[:step] for k, v in hist.items()},
             )
+            if stream_dir:
+                for v in hist.values():
+                    v.flush()
         if all_dead_at is not None:
             # Every born ray is dead: the remaining history is fully
             # determined (NaN for dead rays; never-born rootless lanes stay
@@ -346,12 +392,22 @@ def trace_rays_chunked(
     nsource = source_lon.shape[0]
     out_shape = (nt, 3, nsource, len(config.zwn))
     r_orig = 3 * nsource * len(config.zwn)
-    traj = RayTrajectories(
-        **{
-            k: jnp.asarray(hist[k][:, :r_orig].reshape(out_shape))
-            for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
-        }
-    )
+    if stream_dir:
+        # Memmap-backed views (numpy reshape stays a view when hist_w ==
+        # r_orig; with pad columns it copies the slice).
+        traj = RayTrajectories(
+            **{
+                k: hist[k][:, :r_orig].reshape(out_shape)
+                for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+            }
+        )
+    else:
+        traj = RayTrajectories(
+            **{
+                k: jnp.asarray(hist[k][:, :r_orig].reshape(out_shape))
+                for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+            }
+        )
     if verbose:
         from rwrt_tpu.diagnostics import termination
 

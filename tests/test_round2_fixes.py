@@ -203,6 +203,40 @@ def test_termination_classify_exact(jet_field):
     assert sum(rep.counts.values()) == base.death_step.size
 
 
+def test_streamed_history_equals_in_memory(jet_field, tmp_path):
+    """stream_dir writes the history to memmapped .npy files chunk by chunk;
+    results must equal the in-memory chunked run bitwise, survive a
+    checkpoint resume, and be reopenable from disk."""
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    cfg = RunConfig(integrator="rk45", **CFG)
+    mem = trace_rays_chunked(bs, cfg, chunk_steps=10, verbose=False)
+    sdir = str(tmp_path / "stream")
+    st = trace_rays_chunked(bs, cfg, chunk_steps=10, verbose=False,
+                            stream_dir=sdir)
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(mem, k)), np.asarray(getattr(st, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k)
+    # The files are reopenable after the run.
+    lon_file = np.load(str(tmp_path / "stream" / "lon.npy"), mmap_mode="r")
+    assert lon_file.shape[0] == cfg.nt
+
+    # Streamed + checkpointed: resume completes with identical output.
+    sdir2 = str(tmp_path / "stream2")
+    ckpt = str(tmp_path / "s.npz")
+    partial = RunConfig(**{**CFG, "ttotal": 2 * DAY, "integrator": "rk45"})
+    trace_rays_chunked(bs, partial, chunk_steps=10, verbose=False,
+                       stream_dir=sdir2, checkpoint_path=ckpt)
+    res = trace_rays_chunked(bs, cfg, chunk_steps=10, verbose=False,
+                             stream_dir=sdir2, checkpoint_path=ckpt,
+                             resume=True)
+    for k in ("lon", "lat", "amp"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(mem, k)), np.asarray(getattr(res, k)),
+            rtol=0, atol=1e-11, equal_nan=True, err_msg=k)
+
+
 def test_auto_chunk_routing(jet_field):
     """Past the device-memory estimate trace_rays transparently reroutes
     through the chunked (host-accumulating) driver with equal results."""
