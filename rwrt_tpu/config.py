@@ -43,6 +43,13 @@ class RunConfig:
     # integrate_group). >1 removes the per-interval straggler barrier;
     # results are bit-identical for any value (tests/test_solvers.py).
     interval_batch: int = 16
+    # Difficulty-bucketed lane scheduling for the grouped adaptive path
+    # (tracer._rk45_group_chunk_bucketed): lanes sorted by the previous
+    # chunk's per-lane attempt count run as this many equal slices, each its
+    # own while_loop, so easy lanes stop paying the straggler's iterations.
+    # Bit-identical per lane for any value; 1 disables. Applied when the
+    # device batch has at least 8 * difficulty_buckets lanes.
+    difficulty_buckets: int = 1
     # Displacement kill threshold, radians per tstep-hour (wr.py:170).
     cut_off: float = 0.1
     # Root-slot layout of the output arrays: 'canonical' sorts the initial
@@ -99,4 +106,6 @@ class RunConfig:
             raise ValueError("source latitude out of -90~90 range!")
         if self.tstep <= 0 or self.ttotal <= 0:
             raise ValueError("tstep and ttotal must be positive")
+        if self.difficulty_buckets < 1:
+            raise ValueError("difficulty_buckets must be >= 1")
         return self

@@ -203,6 +203,7 @@ class _GroupCarry(NamedTuple):
     prev_lat: jnp.ndarray  # (R,)
     iters: jnp.ndarray
     nfev: jnp.ndarray
+    lane_att: jnp.ndarray  # (R,) int32: per-lane step attempts in this group
 
 
 def integrate_group(
@@ -237,7 +238,10 @@ def integrate_group(
       bounds: (G,) increasing output times.
 
     Returns:
-      (hist (G, 7, R), y, t, h, f, prev_lon, prev_lat, iters, nfev).
+      (hist (G, 7, R), y, t, h, f, prev_lon, prev_lat, iters, nfev,
+      lane_attempts) -- lane_attempts (R,) int32 counts each lane's step
+      attempts in this group (the cost signal for difficulty-bucketed
+      scheduling: the while-loop trip count is max(lane_attempts)).
     """
     g = bounds.shape[0]
     r = t.shape[0]
@@ -270,6 +274,7 @@ def integrate_group(
         prev_lon=prev_lon, prev_lat=prev_lat,
         iters=jnp.zeros((), jnp.int32),
         nfev=jnp.zeros((), jnp.int32),
+        lane_att=jnp.zeros_like(t, dtype=jnp.int32),
     )
 
     def cond(c: _GroupCarry):
@@ -358,8 +363,9 @@ def integrate_group(
             idx=idx_out, hist=hist_out,
             prev_lon=prev_lon_out, prev_lat=prev_lat_out,
             iters=c.iters + 1, nfev=c.nfev + 6,
+            lane_att=c.lane_att + act.astype(jnp.int32),
         )
 
     out = jax.lax.while_loop(cond, body, carry)
     return (out.hist, out.y, out.t, out.h, out.f, out.prev_lon,
-            out.prev_lat, out.iters, out.nfev)
+            out.prev_lat, out.iters, out.nfev, out.lane_att)

@@ -251,10 +251,13 @@ def trace_rays_chunked(
         # wrong frame for every ray. rhs broadcasts a per-ray t vector.
         f_carry, _ = jax.jit(_ray_mod.rhs)(bg, y, t)
         prev_lon, prev_lat = y[0], y[1]
+        # Difficulty signal for bucketed scheduling: -1 = no signal yet (the
+        # first chunk falls back to the in-program remaining-time/h estimate).
+        prev_att = jnp.full(n_lanes, -1, jnp.int32)
 
     def _resort():
         """Reorder lanes by current grid cell (stable; NaN lanes last)."""
-        nonlocal y, t, h, f_carry, prev_lon, prev_lat, lane_to_ray
+        nonlocal y, t, h, f_carry, prev_lon, prev_lat, prev_att, lane_to_ray
         ylon = np.asarray(y[0])
         ylat = np.asarray(y[1])
         two_pi = 2.0 * np.pi
@@ -287,6 +290,7 @@ def trace_rays_chunked(
             f_carry = perm(f_carry)
             prev_lon = perm(prev_lon)
             prev_lat = perm(prev_lat)
+            prev_att = perm(prev_att)
 
     # Run-level death accounting (the TPU-native replacement for the
     # reference's all-dead early exit, wr.py:735-736, and the RK45 'failed'
@@ -312,7 +316,7 @@ def trace_rays_chunked(
         elif config.interval_batch > 1:
             if mesh is not None:
                 (y, t, h, f_carry, prev_lon, prev_lat), (
-                    ys, ugs, vgs, iters, _) = _tracer_mod._rk45_group_chunk_shardmap(
+                    ys, ugs, vgs, iters, _, _la) = _tracer_mod._rk45_group_chunk_shardmap(
                     mesh, bg, y, t, h, f_carry, prev_lon, prev_lat,
                     t_bounds, cut_off, rtol, atol, min_step,
                 )
@@ -320,9 +324,23 @@ def trace_rays_chunked(
                 # lanes only.
                 ray_steps = int(np.asarray(iters).sum()) * (
                     n_lanes // mesh.devices.size)
+            elif (config.difficulty_buckets > 1
+                  and n_lanes >= 8 * config.difficulty_buckets):
+                (y, t, h, f_carry, prev_lon, prev_lat), (
+                    ys, ugs, vgs, iters, _, prev_att) = (
+                    _tracer_mod._rk45_group_chunk_bucketed(
+                        bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
+                        cut_off, rtol, atol, min_step, prev_att,
+                        k_buckets=config.difficulty_buckets,
+                    ))
+                # iters is per-slice; each iteration advances one slice of
+                # ceil(n_lanes / K) lanes.
+                slice_lanes = -(-n_lanes // config.difficulty_buckets)
+                slice_lanes = ((slice_lanes + 7) // 8) * 8
+                ray_steps = int(np.asarray(iters).sum()) * slice_lanes
             else:
                 (y, t, h, f_carry, prev_lon, prev_lat), (
-                    ys, ugs, vgs, iters, _) = _rk45_group_chunk(
+                    ys, ugs, vgs, iters, _, _la) = _rk45_group_chunk(
                     bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
                     cut_off, rtol, atol, min_step,
                 )

@@ -86,6 +86,21 @@ def test_checkpoint_resume(bs, tmp_path):
     _assert_traj_equal(full, resumed)
 
 
+def test_bucketed_scheduling_bitwise_equal(bs):
+    """difficulty_buckets partitions lanes by predicted attempt count into
+    separate while_loops; every device op is elementwise along the lane
+    axis and slices are 8-aligned, so results must be bit-identical."""
+    cfg = RunConfig(integrator="rk45", **CFG)
+    plain = trace_rays_chunked(bs, cfg, chunk_steps=9, verbose=False)
+    cfg_b = RunConfig(integrator="rk45", difficulty_buckets=4, **CFG)
+    bucketed = trace_rays_chunked(bs, cfg_b, chunk_steps=9, verbose=False)
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(plain, k)), np.asarray(getattr(bucketed, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k,
+        )
+
+
 @pytest.mark.parametrize("integrator", ["rk4", "rk45"])
 def test_sorted_rays_bitwise_equal(bs, integrator):
     """sort_rays reorders lanes for gather locality; every device op is

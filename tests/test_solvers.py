@@ -170,7 +170,7 @@ def test_grouped_intervals_equal_barrier(jet_field):
     i = 0
     while i < nt - 1:
         bsl = bounds[i : i + g]
-        carry, (hist, ug, vg, it, _) = tracer._rk45_group_chunk(
+        carry, (hist, ug, vg, it, _, _la) = tracer._rk45_group_chunk(
             bg, *carry, bsl, cut_off, rtol, atol, min_step)
         hists.append(np.asarray(hist))
         ugs.append(np.asarray(ug))
@@ -190,3 +190,60 @@ def test_grouped_intervals_equal_barrier(jet_field):
                                equal_nan=True)
     # and it should not take MORE iterations than the barrier path
     assert iters_g <= int(np.asarray(it_b).sum())
+
+
+def test_bucketed_chunk_bitwise_equal_and_lane_attempts(jet_field):
+    """_rk45_group_chunk_bucketed must match _rk45_group_chunk bitwise across
+    chunks (with the lane_attempts feedback loop), and the per-lane attempt
+    counter must explain the unbucketed loop's trip count
+    (max(lane_attempts) == iters)."""
+    import jax.numpy as jnp
+    import rwrt_tpu as rt
+    from rwrt_tpu import tracer
+    from rwrt_tpu.models import ray as ray_mod
+
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    bg = tracer.make_background(bs, 0.0)
+    rng = np.random.default_rng(1)
+    ns = 37  # odd source count -> lane count not divisible by the buckets
+    slon = jnp.asarray(rng.uniform(0, 2 * np.pi, ns))
+    slat = jnp.asarray(rng.uniform(-1.2, 1.2, ns))
+    zwn = jnp.asarray([1.0, 3.0, 5.0])
+    y0, _, _ = tracer.initialize(bg, slon, slat, zwn)  # has NaN rootless lanes
+    r = y0.shape[1]
+
+    dt = 7200.0
+    rtol = jnp.asarray(1e-6)
+    atol = jnp.asarray(1e-6)
+    min_step = jnp.asarray(7.2)
+    cut_off = jnp.asarray(0.2)
+    h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
+    t0 = jnp.zeros(r, jnp.float64)
+    f0, _ = ray_mod.rhs(bg, y0)
+
+    carry_p = (y0, t0, h0, f0, y0[0], y0[1])
+    carry_b = carry_p
+    att = jnp.full(r, -1, jnp.int32)
+    nt = 49
+    step, chunk = 1, 16
+    while step < nt:
+        n = min(chunk, nt - step)
+        bounds = jnp.arange(step, step + n, dtype=jnp.float64) * dt
+        carry_p, (hp, up, vp, itp, _, lap) = tracer._rk45_group_chunk(
+            bg, *carry_p, bounds, cut_off, rtol, atol, min_step)
+        carry_b, (hb, ub, vb, itb, _, att) = tracer._rk45_group_chunk_bucketed(
+            bg, *carry_b, bounds, cut_off, rtol, atol, min_step, att,
+            k_buckets=4)
+        assert int(np.asarray(lap).max()) == int(np.asarray(itp))
+        assert np.asarray(itb).shape == (4,)
+        for a, b, name in [(hp, hb, "hist"), (up, ub, "ug"), (vp, vb, "vg"),
+                           (lap, att, "lane_att")]:
+            a, b = np.asarray(a), np.asarray(b)
+            same = (a == b) | (np.isnan(a) & np.isnan(b)) if a.dtype.kind == "f" else (a == b)
+            assert same.all(), (name, step)
+        for a, b in zip(carry_p, carry_b):
+            a, b = np.asarray(a), np.asarray(b)
+            same = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert same.all(), ("carry", step)
+        step += n
