@@ -56,6 +56,27 @@ MIN_FACTOR = 0.2
 MAX_FACTOR = 10.0
 ERROR_EXPONENT = -0.2  # -1/(error_estimator_order + 1), order 4.
 
+# Dense-output interpolant for Dormand-Prince 5(4): the standard quartic
+# y(t + theta*h) = y + h * sum_i b_i(theta) k_i with
+# b_i(theta) = sum_j DP_P[i][j] * theta^(j+1) (scipy RK45.P; these are
+# published interpolant constants of the method, like the tableau itself).
+# At theta=1 each row sums to DP_B (b7 row sums to 0), so the interpolant
+# reproduces y_new exactly in exact arithmetic.
+DP_P = (
+    (1.0, -8048581381 / 2820520608, 8663915743 / 2820520608,
+     -12715105075 / 11282082432),
+    (0.0, 0.0, 0.0, 0.0),
+    (0.0, 131558114200 / 32700410799, -68118460800 / 10900136933,
+     87487479700 / 32700410799),
+    (0.0, -1754552775 / 470086768, 14199869525 / 1410260304,
+     -10690763975 / 1880347072),
+    (0.0, 127303824393 / 49829197408, -318862633887 / 49829197408,
+     701980252875 / 199316789632),
+    (0.0, -282668133 / 205662961, 2019193451 / 616988883,
+     -1453857185 / 822651844),
+    (0.0, 40617522 / 29380423, -110615467 / 29380423, 69997945 / 29380423),
+)
+
 
 def _norm(x):
     """RMS norm over the variable axis: ||x||_2 / sqrt(n) (rkf45.py:29-31)."""
@@ -369,3 +390,161 @@ def integrate_group(
     out = jax.lax.while_loop(cond, body, carry)
     return (out.hist, out.y, out.t, out.h, out.f, out.prev_lon,
             out.prev_lat, out.iters, out.nfev, out.lane_att)
+
+
+class _DenseCarry(NamedTuple):
+    y: jnp.ndarray         # (5, R)
+    t: jnp.ndarray         # (R,)
+    h: jnp.ndarray         # (R,)
+    f: jnp.ndarray         # (5, R) FSAL carry
+    rejected: jnp.ndarray  # (R,) bool
+    new_step: jnp.ndarray  # (R,) bool
+    hist: jnp.ndarray      # (G, 5, R) interpolated states at the bounds
+    iters: jnp.ndarray
+    nfev: jnp.ndarray
+    lane_att: jnp.ndarray  # (R,) int32
+
+
+def integrate_group_dense(
+    rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
+    max_iters: int = 1_000_000,
+):
+    """Free-stepping integration over a group of bounds with DENSE OUTPUT.
+
+    The exact path (``integrate_group``) clamps every step at every output
+    bound, which pins the error-controlled step of ~95% of lanes at the
+    2-hour output cadence: measured on the north-star workload, the median
+    lane's error-limited step is 14 h, so the clamp costs it ~4.5x the
+    attempts physics requires. Here each lane steps freely (clamped only at
+    the FINAL bound, the chunk boundary) and output states at intermediate
+    bounds are evaluated from the Dormand-Prince quartic dense-output
+    interpolant (``DP_P``) of whichever accepted step spans them -- the
+    standard scipy ``solve_ivp(..., t_eval=...)`` treatment, locally
+    O(h^5)-accurate like the integration itself.
+
+    DELIBERATELY NOT bit-identical to the clamped path (the step sequence
+    differs); tolerance-level agreement is gated by tests. Kill masks and
+    per-bound (ug, vg) are NOT applied here -- the caller post-passes them
+    over the emitted history (tracer._dense_postpass), which is exact
+    because a kill at bound j only affects output at bounds >= j and the
+    killed lane's extra integration is discarded.
+
+    Args/returns mirror ``integrate_group`` minus prev_lon/prev_lat (kills
+    are the caller's post-pass): returns
+    (hist (G, 5, R), y, t, h, f, iters, nfev, lane_attempts) where y/t are
+    the INTEGRATED chunk-end state (history interpolation introduces no
+    error into the continuation).
+    """
+    g = bounds.shape[0]
+    r = t.shape[0]
+    t_end = bounds[-1]
+    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+    t0 = jnp.where(nan_mean, t_end, t)
+    # Frozen/dead lanes keep their entry state at every bound (rootless
+    # lanes: finite position, NaN wavenumber -- reference rkf45.py:400-403);
+    # live lanes' slots start NaN and are filled on emission.
+    hist0 = jnp.where(
+        nan_mean[None, None, :],
+        jnp.broadcast_to(y[None], (g,) + y.shape),
+        jnp.nan,
+    ).astype(y.dtype)
+
+    carry = _DenseCarry(
+        y=y, t=t0, h=h, f=f,
+        rejected=jnp.zeros_like(t, dtype=bool),
+        new_step=jnp.ones_like(t, dtype=bool),
+        hist=hist0,
+        iters=jnp.zeros((), jnp.int32),
+        nfev=jnp.zeros((), jnp.int32),
+        lane_att=jnp.zeros_like(t, dtype=jnp.int32),
+    )
+
+    def cond(c: _DenseCarry):
+        return jnp.any(c.t < t_end) & (c.iters < max_iters)
+
+    def body(c: _DenseCarry) -> _DenseCarry:
+        act = c.t < t_end
+
+        f0 = c.f
+        heff = jnp.where(c.new_step, jnp.maximum(c.h, min_step), c.h)
+        t_new = jnp.minimum(c.t + heff, t_end)
+        hstep = t_new - c.t
+
+        k = [f0]
+        for s in range(1, 6):
+            dy = hstep[None, :] * sum(
+                DP_A[s][j] * k[j] for j in range(s) if DP_A[s][j] != 0.0
+            )
+            k.append(rhs_fn(c.y + dy, c.t + DP_C[s] * hstep))
+        y_new = c.y + hstep[None, :] * sum(DP_B[j] * k[j] for j in range(6))
+        f_new = rhs_fn(y_new, t_new)
+        k.append(f_new)
+
+        err = hstep[None, :] * sum(DP_E[j] * k[j] for j in range(7))
+        scale = atol + jnp.maximum(jnp.abs(c.y), jnp.abs(y_new)) * rtol
+        error_norm = _norm(err / scale)
+
+        # NaN handling differs from the exact path BY NECESSITY: free steps
+        # are up to ~20x larger, so trial stages routinely probe beyond the
+        # valid domain (past the pole, |l|>=100) and NaN the evaluation even
+        # though the lane is perfectly healthy -- the exact path's
+        # NaN-error-counts-as-accept convention (reference rkf45.py:446,
+        # tolerable there because clamped steps rarely overshoot) would kill
+        # such lanes spuriously. Here a NaN error REJECTS at the maximum
+        # shrink factor and retries; only a lane that still NaNs at the step
+        # floor (or whose state is already NaN) accepts the NaN and dies,
+        # preserving the genuine-divergence kill.
+        nan_err = jnp.isnan(error_norm)
+        dead_now = jnp.isnan(c.y[0])
+        at_floor = hstep <= min_step
+        accept = jnp.where(
+            nan_err, dead_now | at_floor, error_norm < 1.0)
+        raw = SAFETY * error_norm ** ERROR_EXPONENT
+        fac_acc = jnp.minimum(MAX_FACTOR, raw)
+        fac_acc = jnp.where(c.rejected, jnp.minimum(1.0, fac_acc), fac_acc)
+        fac_acc = jnp.where(nan_err, 1.0, fac_acc)
+        fac_rej = jnp.maximum(MIN_FACTOR, raw)
+        fac_rej = jnp.where(nan_err, MIN_FACTOR, fac_rej)
+        h_next = jnp.where(accept, hstep * fac_acc, hstep * fac_rej)
+
+        upd = act & accept
+
+        # Dense emission: every bound spanned by this accepted step gets the
+        # quartic interpolant of its stages (theta in (0, 1]).
+        crossed = (
+            upd[None, :]
+            & (bounds[:, None] > c.t[None, :])
+            & (bounds[:, None] <= t_new[None, :])
+        )
+        th = (bounds[:, None] - c.t[None, :]) / jnp.where(
+            hstep == 0, 1.0, hstep)[None, :]
+        bp = [
+            th * (p0 + th * (p1 + th * (p2 + th * p3)))
+            for (p0, p1, p2, p3) in DP_P
+        ]
+        y_interp = c.y[None] + hstep[None, None, :] * sum(
+            bp[i][:, None, :] * k[i][None] for i in range(7)
+        )
+        hist_out = jnp.where(crossed[:, None, :], y_interp, c.hist)
+
+        t_out = jnp.where(upd, t_new, c.t)
+        y_out = jnp.where(upd[None, :], y_new, c.y)
+        # Lanes whose state went NaN (polar/runaway inside the RHS) finish
+        # immediately; their un-emitted bounds stay NaN.
+        t_out = jnp.where(act & jnp.isnan(y_out[0]), t_end, t_out)
+        f_out = jnp.where(upd[None, :], f_new, c.f)
+        h_out = jnp.where(act, h_next, c.h)
+        rejected_out = jnp.where(act, ~accept, c.rejected)
+        new_step_out = jnp.where(act, accept, c.new_step)
+
+        return _DenseCarry(
+            y=y_out, t=t_out, h=h_out, f=f_out,
+            rejected=rejected_out, new_step=new_step_out,
+            hist=hist_out,
+            iters=c.iters + 1, nfev=c.nfev + 6,
+            lane_att=c.lane_att + act.astype(jnp.int32),
+        )
+
+    out = jax.lax.while_loop(cond, body, carry)
+    return (out.hist, out.y, out.t, out.h, out.f, out.iters, out.nfev,
+            out.lane_att)

@@ -272,10 +272,79 @@ def _rk45_group_chunk_sorted(bg, y, t, h, f, prev_lon, prev_lat, bounds,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k_buckets", "max_iters"))
+def _dense_postpass(bg, hist, y, t, h, f, prev_lon, prev_lat, bounds,
+                    cut_off, nan0, iters, nfev, lane_att):
+    """Kill cascade + per-bound (ug, vg) over dense-emitted history.
+
+    Applying the termination masks AFTER free-stepping integration is exact
+    w.r.t. the reference's per-bound semantics (wr.py:831-850): a kill at
+    bound j only affects output at bounds >= j, and the killed lane's extra
+    integration is discarded (its chunk-end carry is NaNed here, so the next
+    chunk sees a dead lane). Frozen lanes (nan0: NaN state components at
+    chunk entry -- rootless or already dead) bypass the cascade and keep
+    their pre-filled rows, mirroring integrate_group's entry handling.
+    """
+    frozen = nan0
+
+    def step(carry, xs):
+        st, _tb = xs
+        plon, plat, alive = carry
+        dead = ((~alive) | ray_mod.kill_mask(st, plon, plat, cut_off)
+                | jnp.isnan(st[S_LON])) & ~frozen
+        out = jnp.where(dead[None, :], jnp.nan, st)
+        alive2 = alive & ~dead
+        plon2 = jnp.where(alive2, out[S_LON], plon)
+        plat2 = jnp.where(alive2, out[S_LAT], plat)
+        return (plon2, plat2, alive2), out
+
+    (plon_f, plat_f, alive_f), hist_k = jax.lax.scan(
+        step, (prev_lon, prev_lat, ~nan0), (hist, bounds))
+
+    def gv(st, tb):
+        return ray_mod.group_velocity_at(
+            bg, st[S_LON], st[S_LAT], st[S_KX], st[S_KY], tb)
+
+    ugs, vgs = jax.vmap(gv)(hist_k, bounds)
+
+    # Lanes killed at some bound are dead for the next chunk; frozen lanes
+    # keep their (finite-position) state like the exact path.
+    y_carry = jnp.where((alive_f | frozen)[None, :], y, jnp.nan)
+    return (y_carry, t, h, f, plon_f, plat_f), (
+        hist_k, ugs, vgs, iters, nfev, lane_att)
+
+
+@jax.jit
+def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
+                            cut_off, rtol, atol, min_step):
+    """One group of output bounds via FREE-STEPPING dense output
+    (solvers/rk45.py integrate_group_dense + _dense_postpass).
+
+    NOT bit-identical to _rk45_group_chunk: intermediate bound states come
+    from the Dormand-Prince quartic interpolant instead of clamping every
+    step at every bound, cutting the median lane's attempts ~4.5x on the
+    north-star workload (its error-limited step is 14 h vs the 2 h output
+    cadence). Agreement with the exact path is tolerance-level (gated in
+    tests); results depend (at tolerance level) on the chunk split, since
+    chunk boundaries still clamp.
+    """
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    nan0 = jnp.isnan(jnp.mean(y, axis=0))
+    hist, y2, t2, h2, f2, iters, nfev, la = rk45_mod.integrate_group_dense(
+        rhs_fn, y, t, h, f, bounds, rtol, atol, min_step)
+    return _dense_postpass(bg, hist, y2, t2, h2, f2, prev_lon, prev_lat,
+                           bounds, cut_off, nan0, iters, nfev, la)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k_buckets", "dense", "max_iters"))
 def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
                                cut_off, rtol, atol, min_step, prev_att,
-                               k_buckets: int = 8, max_iters=1_000_000):
+                               k_buckets: int = 8, dense: bool = False,
+                               max_iters=1_000_000):
     """_rk45_group_chunk with difficulty-bucketed lane scheduling.
 
     The grouped while-loop's trip count is max-over-lanes of step attempts,
@@ -341,6 +410,32 @@ def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
     def rhs_gv_fn(yy, tt=0.0):
         return ray_mod.rhs_and_gv(bg, yy, tt)
 
+    def unperm(a):
+        # (..., total) -> (..., r); pad entries scatter identical bytes.
+        out = jnp.zeros(a.shape[:-1] + (r,), a.dtype)
+        return out.at[..., perm].set(a)
+
+    if dense:
+        def one_d(args):
+            yy, tt, hh, ff = args
+            return rk45_mod.integrate_group_dense(
+                rhs_fn, yy, tt, hh, ff, bounds, rtol, atol, min_step,
+                max_iters,
+            )
+
+        (hist, y2, t2, h2, f2, iters, nfev, la) = jax.lax.map(
+            one_d, (ys, ts, hs, fs))
+        hist = unperm(hist.transpose(1, 2, 0, 3).reshape(g, 5, total))
+        y_out = unperm(y2.transpose(1, 0, 2).reshape(5, total))
+        f_out = unperm(f2.transpose(1, 0, 2).reshape(5, total))
+        t_out = unperm(t2.reshape(total))
+        h_out = unperm(h2.reshape(total))
+        la_out = unperm(la.reshape(total))
+        nan0 = jnp.isnan(jnp.mean(y, axis=0))
+        return _dense_postpass(
+            bg, hist, y_out, t_out, h_out, f_out, prev_lon, prev_lat,
+            bounds, cut_off, nan0, iters, jnp.sum(nfev), la_out)
+
     def one(args):
         yy, tt, hh, ff, pl, pa = args
         return rk45_mod.integrate_group(
@@ -350,11 +445,6 @@ def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
 
     (hist, y2, t2, h2, f2, pl2, pa2, iters, nfev, la) = jax.lax.map(
         one, (ys, ts, hs, fs, pls, pas))
-
-    def unperm(a):
-        # (..., total) -> (..., r); pad entries scatter identical bytes.
-        out = jnp.zeros(a.shape[:-1] + (r,), a.dtype)
-        return out.at[..., perm].set(a)
 
     hist = unperm(hist.transpose(1, 2, 0, 3).reshape(g, 7, total))
     y_out = unperm(y2.transpose(1, 0, 2).reshape(5, total))
@@ -407,11 +497,13 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
     return ys, ugs, vgs, iters, nfev
 
 
-@functools.partial(jax.jit, static_argnames=("nt", "group"))
+@functools.partial(jax.jit, static_argnames=("nt", "group", "dense"))
 def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
-                      min_step, group: int = 8):
+                      min_step, group: int = 8, dense: bool = False):
     """Adaptive run via group-asynchronous intervals (bit-identical to
-    _run_rk45, ~2x fewer device-loop iterations; see integrate_group)."""
+    _run_rk45, ~2x fewer device-loop iterations; see integrate_group).
+    dense=True switches each group to free-stepping dense output
+    (_rk45_group_chunk_dense semantics; NOT bit-identical, see bound_mode)."""
 
     def rhs_fn(yy, tt=0.0):
         dy, _ = ray_mod.rhs(bg, yy, tt)
@@ -432,6 +524,16 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     bounds_g = bounds_all.reshape(n_groups, group)
 
     def one_group(carry, bounds):
+        if dense:
+            y, t, h, f, pl, pa = carry
+            nan0 = jnp.isnan(jnp.mean(y, axis=0))
+            hist, y2, t2, h2, f2, iters, nfev, la = (
+                rk45_mod.integrate_group_dense(
+                    rhs_fn, y, t, h, f, bounds, rtol, atol, min_step))
+            carry, (hist, ugs, vgs, iters, nfev, _) = _dense_postpass(
+                bg, hist, y2, t2, h2, f2, pl, pa, bounds, cut_off, nan0,
+                iters, nfev, la)
+            return carry, (hist, ugs, vgs, iters, nfev)
         carry, (hist, ugs, vgs, iters, nfev, _) = _rk45_group_chunk(
             bg, *carry, bounds, cut_off, rtol, atol, min_step
         )
@@ -503,7 +605,8 @@ def _bg_spec(sp, member_sharded: bool):
 
 @functools.lru_cache(maxsize=None)
 def _make_rk45_sharded_fn(mesh, nt: int, group: int,
-                          member_sharded: bool = False):
+                          member_sharded: bool = False,
+                          dense: bool = False):
     """Build (once per (mesh, nt, group)) the shard_mapped full adaptive run.
 
     Under plain GSPMD the controller's ``jnp.any(~done)`` loop condition is a
@@ -529,7 +632,7 @@ def _make_rk45_sharded_fn(mesh, nt: int, group: int,
         if group > 1 and nt > 2:
             ys, ugs, vgs, iters, nfev = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
-                group=group,
+                group=group, dense=dense,
             )
         else:
             ys, ugs, vgs, iters, nfev = _run_rk45(
@@ -547,7 +650,7 @@ def _make_rk45_sharded_fn(mesh, nt: int, group: int,
 
 
 def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
-                      min_step, group: int):
+                      min_step, group: int, dense: bool = False):
     """Multi-chip adaptive run via shard_map (see _make_rk45_sharded_fn).
 
     Returns (ys, ugs, vgs, iters, nfev) with iters/nfev shaped
@@ -555,21 +658,41 @@ def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     is the point).
     """
     fn = _make_rk45_sharded_fn(mesh, nt, group,
-                               member_sharded=bg.member_ids is not None)
+                               member_sharded=bg.member_ids is not None,
+                               dense=dense)
     return fn(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_group_chunk_shardmap_fn(mesh):
-    """shard_map wrapper of _rk45_group_chunk (one chunk of the chunked
-    driver) -- same shard-local-loop property as the full sharded run."""
+def _make_group_chunk_shardmap_fn(mesh, dense: bool = False,
+                                  k_buckets: int = 1):
+    """shard_map wrapper of the grouped chunk (one chunk of the chunked
+    driver) -- same shard-local-loop property as the full sharded run.
+    dense/k_buckets select the free-stepping and difficulty-bucketed
+    variants; both are fully shard-local (the bucketed argsort and the dense
+    kill cascade only touch the shard's own lanes), so the compiled program
+    still contains zero collectives."""
     sp = _ray_specs()
 
-    def local(bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol, min_step):
-        (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
-            _rk45_group_chunk(bg, y, t, h, f, pl, pa, bounds, cut_off,
-                              rtol, atol, min_step)
-        )
+    def local(bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol, min_step,
+              prev_att):
+        if k_buckets > 1:
+            (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
+                _rk45_group_chunk_bucketed(
+                    bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol,
+                    min_step, prev_att, k_buckets=k_buckets, dense=dense)
+            )
+            iters = jnp.sum(iters)
+        elif dense:
+            (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
+                _rk45_group_chunk_dense(bg, y, t, h, f, pl, pa, bounds,
+                                        cut_off, rtol, atol, min_step)
+            )
+        else:
+            (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
+                _rk45_group_chunk(bg, y, t, h, f, pl, pa, bounds, cut_off,
+                                  rtol, atol, min_step)
+            )
         return (y, t, h, f, pl, pa, hist, ugs, vgs,
                 iters.reshape(1), nfev.reshape(1), lane_att)
 
@@ -577,7 +700,7 @@ def _make_group_chunk_shardmap_fn(mesh):
         local, mesh=mesh,
         in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["l2"],
                   sp["lane"], sp["lane"], sp["rep"], sp["rep"], sp["rep"],
-                  sp["rep"], sp["rep"]),
+                  sp["rep"], sp["rep"], sp["lane"]),
         out_specs=(sp["l2"], sp["lane"], sp["lane"], sp["l2"], sp["lane"],
                    sp["lane"], sp["l3"], sp["l2"], sp["l2"], sp["lane"],
                    sp["lane"], sp["lane"]),
@@ -585,11 +708,15 @@ def _make_group_chunk_shardmap_fn(mesh):
 
 
 def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
-                               bounds, cut_off, rtol, atol, min_step):
+                               bounds, cut_off, rtol, atol, min_step,
+                               prev_att=None, dense: bool = False,
+                               k_buckets: int = 1):
+    if prev_att is None:
+        prev_att = jnp.full(t.shape[0], -1, jnp.int32)
     y, t, h, f, pl, pa, hist, ugs, vgs, iters, nfev, lane_att = (
-        _make_group_chunk_shardmap_fn(mesh)(
+        _make_group_chunk_shardmap_fn(mesh, dense, k_buckets)(
             bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off, rtol, atol,
-            min_step,
+            min_step, prev_att,
         )
     )
     return (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att)
@@ -734,11 +861,13 @@ def trace_rays(
             ys, ugs, vgs, _, _ = _run_rk45_sharded(
                 mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                 min_step, group=min(config.interval_batch, nt - 1),
+                dense=(config.bound_mode == "dense"),
             )
         elif config.interval_batch > 1 and nt > 2:
             ys, ugs, vgs, _, _ = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=min(config.interval_batch, nt - 1),
+                dense=(config.bound_mode == "dense"),
             )
         else:
             ys, ugs, vgs, _, _ = _run_rk45(
@@ -884,11 +1013,13 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
         ys, ugs, vgs, _, _ = _run_rk45_sharded(
             mesh, ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
             min_step, group=min(config.interval_batch, nt - 1),
+            dense=(config.bound_mode == "dense"),
         )
     elif config.interval_batch > 1 and nt > 2:
         ys, ugs, vgs, _, _ = _run_rk45_grouped(
             ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
             group=min(config.interval_batch, nt - 1),
+            dense=(config.bound_mode == "dense"),
         )
     else:
         ys, ugs, vgs, _, _ = _run_rk45(

@@ -315,15 +315,26 @@ def trace_rays_chunked(
             ray_steps = n * n_lanes
         elif config.interval_batch > 1:
             if mesh is not None:
+                shard_lanes = n_lanes // mesh.devices.size
+                k_mesh = (config.difficulty_buckets
+                          if (config.difficulty_buckets > 1
+                              and shard_lanes >= 8 * config.difficulty_buckets)
+                          else 1)
                 (y, t, h, f_carry, prev_lon, prev_lat), (
-                    ys, ugs, vgs, iters, _, _la) = _tracer_mod._rk45_group_chunk_shardmap(
-                    mesh, bg, y, t, h, f_carry, prev_lon, prev_lat,
-                    t_bounds, cut_off, rtol, atol, min_step,
-                )
-                # iters is per-shard; each iteration advances one shard's
-                # lanes only.
-                ray_steps = int(np.asarray(iters).sum()) * (
-                    n_lanes // mesh.devices.size)
+                    ys, ugs, vgs, iters, _, prev_att) = (
+                    _tracer_mod._rk45_group_chunk_shardmap(
+                        mesh, bg, y, t, h, f_carry, prev_lon, prev_lat,
+                        t_bounds, cut_off, rtol, atol, min_step,
+                        prev_att=prev_att,
+                        dense=(config.bound_mode == "dense"),
+                        k_buckets=k_mesh,
+                    ))
+                # iters is per-shard (and per-slice-summed when bucketed);
+                # each iteration advances one shard's lanes (one slice's
+                # when bucketed).
+                unit = (((-(-shard_lanes // k_mesh) + 7) // 8) * 8
+                        if k_mesh > 1 else shard_lanes)
+                ray_steps = int(np.asarray(iters).sum()) * unit
             elif (config.difficulty_buckets > 1
                   and n_lanes >= 8 * config.difficulty_buckets):
                 (y, t, h, f_carry, prev_lon, prev_lat), (
@@ -332,12 +343,21 @@ def trace_rays_chunked(
                         bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
                         cut_off, rtol, atol, min_step, prev_att,
                         k_buckets=config.difficulty_buckets,
+                        dense=(config.bound_mode == "dense"),
                     ))
                 # iters is per-slice; each iteration advances one slice of
                 # ceil(n_lanes / K) lanes.
                 slice_lanes = -(-n_lanes // config.difficulty_buckets)
                 slice_lanes = ((slice_lanes + 7) // 8) * 8
                 ray_steps = int(np.asarray(iters).sum()) * slice_lanes
+            elif config.bound_mode == "dense":
+                (y, t, h, f_carry, prev_lon, prev_lat), (
+                    ys, ugs, vgs, iters, _, _la) = (
+                    _tracer_mod._rk45_group_chunk_dense(
+                        bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
+                        cut_off, rtol, atol, min_step,
+                    ))
+                ray_steps = int(np.asarray(iters)) * n_lanes
             else:
                 (y, t, h, f_carry, prev_lon, prev_lat), (
                     ys, ugs, vgs, iters, _, _la) = _rk45_group_chunk(
