@@ -59,6 +59,15 @@ class RunConfig:
     #     Termination masks are applied per bound over the emitted history
     #     (identical semantics; kill timing can differ at tolerance level).
     bound_mode: str = "exact"
+    # Peel scheduling for dense mode (chunked driver, single device): run
+    # the whole batch for at most peel_caps[0] while-iterations, compact the
+    # lanes that actually did not finish into a power-of-two sub-batch,
+    # continue (next cap), and finish the last survivors uncapped. Bitwise
+    # equal to the unpeeled dense chunk; ~3x fewer lane-iteration units
+    # because the straggler tail stops taxing the full batch width. Ignored
+    # unless bound_mode='dense'.
+    peel: bool = True
+    peel_caps: Sequence[int] = (24, 96)
     # Difficulty-bucketed lane scheduling for the grouped adaptive path
     # (tracer._rk45_group_chunk_bucketed): lanes sorted by the previous
     # chunk's per-lane attempt count run as this many equal slices, each its

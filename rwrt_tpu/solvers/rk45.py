@@ -407,7 +407,7 @@ class _DenseCarry(NamedTuple):
 
 def integrate_group_dense(
     rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
-    max_iters: int = 1_000_000,
+    max_iters=1_000_000, state0=None,
 ):
     """Free-stepping integration over a group of bounds with DENSE OUTPUT.
 
@@ -434,29 +434,45 @@ def integrate_group_dense(
     (hist (G, 5, R), y, t, h, f, iters, nfev, lane_attempts) where y/t are
     the INTEGRATED chunk-end state (history interpolation introduces no
     error into the continuation).
+
+    SUSPEND/RESUME (the peel scheduler's primitive): the loop stops once
+    ``iters`` reaches ``max_iters`` (may be a traced scalar); the returned
+    (y, t, h, f) plus ``state0``-shaped (hist, rejected, new_step,
+    lane_attempts) are a complete mid-chunk snapshot. Passing them back via
+    ``state0`` (possibly gathered to a lane SUBSET -- every per-lane
+    quantity is independent) continues the integration bitwise-exactly;
+    lanes with t == bounds[-1] re-enter as finished no-ops.
     """
     g = bounds.shape[0]
     r = t.shape[0]
     t_end = bounds[-1]
-    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-    t0 = jnp.where(nan_mean, t_end, t)
-    # Frozen/dead lanes keep their entry state at every bound (rootless
-    # lanes: finite position, NaN wavenumber -- reference rkf45.py:400-403);
-    # live lanes' slots start NaN and are filled on emission.
-    hist0 = jnp.where(
-        nan_mean[None, None, :],
-        jnp.broadcast_to(y[None], (g,) + y.shape),
-        jnp.nan,
-    ).astype(y.dtype)
+    if state0 is None:
+        nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+        t0 = jnp.where(nan_mean, t_end, t)
+        # Frozen/dead lanes keep their entry state at every bound (rootless
+        # lanes: finite position, NaN wavenumber -- reference
+        # rkf45.py:400-403); live lanes' slots start NaN and are filled on
+        # emission.
+        hist0 = jnp.where(
+            nan_mean[None, None, :],
+            jnp.broadcast_to(y[None], (g,) + y.shape),
+            jnp.nan,
+        ).astype(y.dtype)
+        rejected0 = jnp.zeros_like(t, dtype=bool)
+        new_step0 = jnp.ones_like(t, dtype=bool)
+        lane_att0 = jnp.zeros_like(t, dtype=jnp.int32)
+    else:
+        hist0, rejected0, new_step0, lane_att0 = state0
+        t0 = t
 
     carry = _DenseCarry(
         y=y, t=t0, h=h, f=f,
-        rejected=jnp.zeros_like(t, dtype=bool),
-        new_step=jnp.ones_like(t, dtype=bool),
+        rejected=rejected0,
+        new_step=new_step0,
         hist=hist0,
         iters=jnp.zeros((), jnp.int32),
         nfev=jnp.zeros((), jnp.int32),
-        lane_att=jnp.zeros_like(t, dtype=jnp.int32),
+        lane_att=lane_att0,
     )
 
     def cond(c: _DenseCarry):
@@ -547,4 +563,4 @@ def integrate_group_dense(
 
     out = jax.lax.while_loop(cond, body, carry)
     return (out.hist, out.y, out.t, out.h, out.f, out.iters, out.nfev,
-            out.lane_att)
+            out.lane_att, out.rejected, out.new_step)

@@ -333,10 +333,149 @@ def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
         return dy
 
     nan0 = jnp.isnan(jnp.mean(y, axis=0))
-    hist, y2, t2, h2, f2, iters, nfev, la = rk45_mod.integrate_group_dense(
-        rhs_fn, y, t, h, f, bounds, rtol, atol, min_step)
+    hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
+        rk45_mod.integrate_group_dense(
+            rhs_fn, y, t, h, f, bounds, rtol, atol, min_step))
     return _dense_postpass(bg, hist, y2, t2, h2, f2, prev_lon, prev_lat,
                            bounds, cut_off, nan0, iters, nfev, la)
+
+
+@jax.jit
+def _dense_init_state(y, bounds):
+    """Entry state for a suspendable dense chunk (see integrate_group_dense
+    state0): pre-filled history, fresh controller flags, zero attempts."""
+    g = bounds.shape[0]
+    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+    hist0 = jnp.where(
+        nan_mean[None, None, :],
+        jnp.broadcast_to(y[None], (g,) + y.shape),
+        jnp.nan,
+    ).astype(y.dtype)
+    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)  # applied by caller
+    return (hist0, jnp.zeros(y.shape[1], bool), jnp.ones(y.shape[1], bool),
+            jnp.zeros(y.shape[1], jnp.int32), t_shift)
+
+
+@jax.jit
+def _dense_phase(bg, y, t, h, f, bounds, rtol, atol, min_step, cap,
+                 hist, rejected, new_step, lane_att):
+    """One capped leg of a suspendable dense integration (cap is traced, so
+    every leg of every peel round shares one compiled program per width)."""
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    return rk45_mod.integrate_group_dense(
+        rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
+        max_iters=cap, state0=(hist, rejected, new_step, lane_att),
+    )
+
+
+_dense_postpass_jit = jax.jit(_dense_postpass)
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
+                        rtol, atol, min_step, cap, w: int):
+    """One capped leg over the unfinished-lane SUBSET, fused select ->
+    gather -> integrate -> scatter in a single program. The peel
+    orchestrator's per-round footprint must stay at one kernel call plus
+    one SCALAR fetch: through a remote-device tunnel every eager op is a
+    round trip, every new shape a compile, and bulk (R,) device->host reads
+    cost hundreds of ms (a first cut fetching t per round spent 1.8 s
+    orchestrating 0.45 s of device work). The host only ever reads the
+    unfinished-lane COUNT to pick the static width w; the indices
+    themselves are computed here (pad slots duplicate the first unfinished
+    lane: identical computation, identical scattered bytes)."""
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    unf = jnp.nonzero(tv < bounds[-1], size=w, fill_value=-1)[0]
+    idx = jnp.where(unf < 0, unf[0], unf).astype(jnp.int32)
+
+    def g1(a):
+        return jnp.take(a, idx, axis=-1)
+
+    (hist_s, y_s, t_s, h_s, f_s, it, nf, la_s, rej_s, ns_s) = (
+        rk45_mod.integrate_group_dense(
+            rhs_fn, g1(yv), g1(tv), g1(hv), g1(fv), bounds, rtol, atol,
+            min_step, max_iters=cap,
+            state0=(jnp.take(hist, idx, axis=-1), g1(rej), g1(ns), g1(la)),
+        ))
+    return (yv.at[..., idx].set(y_s), tv.at[idx].set(t_s),
+            hv.at[idx].set(h_s), fv.at[..., idx].set(f_s),
+            hist.at[..., idx].set(hist_s), rej.at[idx].set(rej_s),
+            ns.at[idx].set(ns_s), la.at[idx].set(la_s), it, nf)
+
+
+def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
+                                   bounds, cut_off, rtol, atol, min_step,
+                                   caps=(24, 96), min_width=512):
+    """Dense chunk under PEEL scheduling: bitwise-equal to
+    _rk45_group_chunk_dense, typically ~3-4x cheaper at 100k-lane scale.
+
+    The masked while-loop's cost is trip-count x batch width, and the trip
+    count is the max over lanes -- so the straggler tail (p99 ~10x the
+    median attempts, and too bursty for chunk-level difficulty PREDICTION
+    to isolate: rays drift into critical layers unpredictably) makes every
+    lane pay. Peel scheduling reacts to ACTUAL difficulty instead: run the
+    whole batch for at most caps[0] iterations, then compact the lanes that
+    genuinely did not finish (a handful of percent) into a power-of-two
+    padded sub-batch and continue them, then again, finishing the last
+    survivors uncapped. Every per-lane quantity is independent and widths
+    stay 8-aligned, so suspend/gather/resume reproduces the uninterrupted
+    loop bitwise (pad slots are duplicates of a real lane and scatter
+    identical bytes).
+
+    Host involvement per round: one (R,) fetch of t + an argwhere -- the
+    chunked driver crosses the host between chunks anyway. Returns the
+    _rk45_group_chunk aux structure with iters = LANE-ITERATION UNITS
+    (sum over rounds of trip count x width) rather than a trip count,
+    since trips at different widths cost differently.
+    """
+    r = t.shape[0]
+    nan0 = jnp.isnan(jnp.mean(y, axis=0))
+    hist, rej, ns, la, t_shift = _dense_init_state(y, bounds)
+    t = jnp.where(jnp.isnan(t_shift), t, t_shift)
+    t_end = float(np.asarray(bounds[-1]))
+
+    big = jnp.asarray(2_000_000, jnp.int32)
+    yv, tv, hv, fv = y, t, h, f
+    w = None  # None = full batch
+    units = 0
+    nfev_total = 0
+    for cap in tuple(caps) + (None,):
+        cap_v = big if cap is None else jnp.asarray(cap, jnp.int32)
+        if w is None:
+            (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
+                bg, yv, tv, hv, fv, bounds, rtol, atol, min_step, cap_v,
+                hist, rej, ns, la)
+            width = r
+        else:
+            (yv, tv, hv, fv, hist, rej, ns, la, it, nf) = (
+                _dense_phase_subset(
+                    bg, yv, tv, hv, fv, hist, rej, ns, la,
+                    bounds, rtol, atol, min_step, cap_v, w=w))
+            width = w
+        units += int(np.asarray(it)) * width
+        nfev_total += int(np.asarray(nf))
+        if cap is None:
+            break
+        # Scalar fetch only (bulk device->host reads are expensive through
+        # a remote-device tunnel); the indices are computed on device.
+        n_unf = int(np.asarray(jnp.sum(tv < t_end).astype(jnp.int32)))
+        if n_unf == 0:
+            break
+        w = max(min_width, 1 << int(n_unf - 1).bit_length())
+        if w >= r:
+            w = None  # no compaction win; keep full width
+
+    return _dense_postpass_jit(
+        bg, hist, yv, tv, hv, fv, prev_lon, prev_lat, bounds, cut_off,
+        nan0, jnp.asarray(units, jnp.int32), jnp.asarray(nfev_total), la)
 
 
 @functools.partial(jax.jit,
@@ -421,7 +560,7 @@ def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
             return rk45_mod.integrate_group_dense(
                 rhs_fn, yy, tt, hh, ff, bounds, rtol, atol, min_step,
                 max_iters,
-            )
+            )[:8]
 
         (hist, y2, t2, h2, f2, iters, nfev, la) = jax.lax.map(
             one_d, (ys, ts, hs, fs))
@@ -527,7 +666,7 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
         if dense:
             y, t, h, f, pl, pa = carry
             nan0 = jnp.isnan(jnp.mean(y, axis=0))
-            hist, y2, t2, h2, f2, iters, nfev, la = (
+            hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
                 rk45_mod.integrate_group_dense(
                     rhs_fn, y, t, h, f, bounds, rtol, atol, min_step))
             carry, (hist, ugs, vgs, iters, nfev, _) = _dense_postpass(

@@ -350,6 +350,16 @@ def trace_rays_chunked(
                 slice_lanes = -(-n_lanes // config.difficulty_buckets)
                 slice_lanes = ((slice_lanes + 7) // 8) * 8
                 ray_steps = int(np.asarray(iters).sum()) * slice_lanes
+            elif config.bound_mode == "dense" and config.peel:
+                (y, t, h, f_carry, prev_lon, prev_lat), (
+                    ys, ugs, vgs, iters, _, _la) = (
+                    _tracer_mod._rk45_group_chunk_dense_peeled(
+                        bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
+                        cut_off, rtol, atol, min_step,
+                        caps=tuple(config.peel_caps),
+                    ))
+                # peeled iters is already lane-iteration units
+                ray_steps = int(np.asarray(iters))
             elif config.bound_mode == "dense":
                 (y, t, h, f_carry, prev_lon, prev_lat), (
                     ys, ugs, vgs, iters, _, _la) = (

@@ -174,3 +174,69 @@ def test_dense_bucketed_chunked_mesh_equals_single(bs):
         np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
         ok = ~np.isnan(a)
         assert np.max(np.abs(a[ok] - b[ok])) < 1e-6, k
+
+
+def test_peel_bitwise_equals_dense_chunk(bs):
+    """Peel scheduling (suspend at a cap, compact the actually-unfinished
+    lanes, resume narrow) must reproduce the uninterrupted dense chunk
+    bitwise -- every per-lane quantity is independent and the controller
+    flags travel with the lane."""
+    import jax.numpy as jnp
+    from rwrt_tpu.models import ray as ray_mod
+
+    bg = tracer.make_background(bs, 0.0)
+    slon, slat = tracer.source_matrix(0.0, 5.0, 36.0, 8.0, 5, 4)
+    zwn = jnp.asarray([2.0, 4.0, 6.0])
+    y0, _, _ = tracer.initialize(bg, jnp.asarray(slon), jnp.asarray(slat),
+                                 zwn)
+    r = y0.shape[1]
+    dt = 7200.0
+    rtol = jnp.asarray(1e-6)
+    atol = jnp.asarray(1e-6)
+    min_step = jnp.asarray(7.2)
+    cut_off = jnp.asarray(0.2)
+    h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
+    t0 = jnp.zeros(r, jnp.float64)
+    f0, _ = ray_mod.rhs(bg, y0)
+
+    cd = (y0, t0, h0, f0, y0[0], y0[1])
+    cp = cd
+    nt, chunk = 49, 16
+    step = 1
+    while step < nt:
+        n = min(chunk, nt - step)
+        bounds = jnp.arange(step, step + n, dtype=jnp.float64) * dt
+        cd, (hd, ud, vd, _, _, lad) = tracer._rk45_group_chunk_dense(
+            bg, *cd, bounds, cut_off, rtol, atol, min_step)
+        cp, (hp, up, vp, units, _, lap) = (
+            tracer._rk45_group_chunk_dense_peeled(
+                bg, *cp, bounds, cut_off, rtol, atol, min_step,
+                caps=(6, 18), min_width=32))
+        for a, b, name in [(hd, hp, "hist"), (ud, up, "ug"), (vd, vp, "vg"),
+                           (lad, lap, "lane_att")]:
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype.kind == "f":
+                same = (a == b) | (np.isnan(a) & np.isnan(b))
+            else:
+                same = a == b
+            assert same.all(), (name, step)
+        for a, b in zip(cd, cp):
+            a, b = np.asarray(a), np.asarray(b)
+            same = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert same.all(), ("carry", step)
+        step += n
+
+
+def test_peel_through_chunked_driver(bs):
+    """The chunked driver's dense default is the peeled scheduler; it must
+    match the unpeeled dense driver bitwise."""
+    cfg_p = RunConfig(bound_mode="dense", peel=True, peel_caps=(6, 18),
+                      **CFG)
+    cfg_u = RunConfig(bound_mode="dense", peel=False, **CFG)
+    peeled = trace_rays_chunked(bs, cfg_p, chunk_steps=16, verbose=False)
+    plain = trace_rays_chunked(bs, cfg_u, chunk_steps=16, verbose=False)
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(peeled, k)), np.asarray(getattr(plain, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k,
+        )
