@@ -375,6 +375,16 @@ def _dense_phase(bg, y, t, h, f, bounds, rtol, atol, min_step, cap,
 _dense_postpass_jit = jax.jit(_dense_postpass)
 
 
+@jax.jit
+def _peel_leg_stats(it, nf, tv, bounds):
+    """Pack the peel round's scalars into one array so the host pays one
+    device->host round trip per leg instead of three."""
+    return jnp.stack([
+        it.astype(jnp.int32), nf.astype(jnp.int32),
+        jnp.sum(tv < bounds[-1]).astype(jnp.int32),
+    ])
+
+
 @functools.partial(jax.jit, static_argnames=("w",))
 def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
                         rtol, atol, min_step, cap, w: int):
@@ -440,7 +450,6 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
     nan0 = jnp.isnan(jnp.mean(y, axis=0))
     hist, rej, ns, la, t_shift = _dense_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
-    t_end = float(np.asarray(bounds[-1]))
 
     big = jnp.asarray(2_000_000, jnp.int32)
     yv, tv, hv, fv = y, t, h, f
@@ -460,13 +469,14 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
                     bg, yv, tv, hv, fv, hist, rej, ns, la,
                     bounds, rtol, atol, min_step, cap_v, w=w))
             width = w
-        units += int(np.asarray(it)) * width
-        nfev_total += int(np.asarray(nf))
+        # ONE packed scalar fetch per leg (each device->host read is a
+        # full round trip through a remote-device tunnel).
+        it_h, nf_h, n_unf = (int(x) for x in np.asarray(
+            _peel_leg_stats(it, nf, tv, bounds)))
+        units += it_h * width
+        nfev_total += nf_h
         if cap is None:
             break
-        # Scalar fetch only (bulk device->host reads are expensive through
-        # a remote-device tunnel); the indices are computed on device.
-        n_unf = int(np.asarray(jnp.sum(tv < t_end).astype(jnp.int32)))
         if n_unf == 0:
             break
         w = max(min_width, 1 << int(n_unf - 1).bit_length())
