@@ -157,8 +157,11 @@ def regrid_to_uniform(u, v, lat, lon, nlat=None, nlon=None):
         wgt = (targets - coord[i0]) / (coord[i0 + 1] - coord[i0])
         return i0, np.clip(wgt, 0.0, 1.0)
 
-    jx, wx = interp_axis(lon_ext, np.where(lon_out < lon[0],
-                                           lon_out + 2.0 * pi, lon_out))
+    # Map each target into the source's own cyclic window [lon[0],
+    # lon[0]+2*pi) -- NOT just "shift targets below lon[0] up", which leaves
+    # targets ABOVE lon_ext[-1] clamping to one source column when the
+    # source uses the -180..180 convention.
+    jx, wx = interp_axis(lon_ext, lon[0] + (lon_out - lon[0]) % (2.0 * pi))
     jy, wy = interp_axis(lat, np.clip(lat_out, lat[0], lat[-1]))
     jx1 = jx + 1
 

@@ -11,6 +11,7 @@ from rwrt_tpu.models.basic_state import prepare_time_varying, regrid_to_uniform
 from rwrt_tpu.utils.checkpoint import trace_rays_chunked
 
 HOUR, DAY = 3600.0, 86400.0
+pi_ = np.pi
 
 CFG = dict(
     zwn=(2.0, 4.0), sw_lon=0.0, sw_lat=10.0, dlon=90.0, dlat=10.0,
@@ -106,6 +107,21 @@ def test_regrid_to_uniform(jet_field):
     want_v = 3.0 * np.sin(rlon)[:, None] * np.cos(rlat)[None, :]
     assert np.max(np.abs(rv - want_v)[:, 1:-1]) < 0.05
     assert bs.nlat == 49
+
+
+def test_regrid_to_uniform_negative_lon_convention(jet_field):
+    """A source grid on the -180..180 longitude convention must regrid
+    correctly: targets above the source window's end (e.g. 200 deg) wrap
+    into [lon0, lon0+2pi), they do not clamp to the last source column."""
+    u, v, lat, lon = jet_field
+    lon_neg = lon - pi_  # [-pi, pi)
+    gu = 20.0 * np.cos(lat)[None, :] ** 2 * (1.0 + 0.3 * np.sin(lon_neg))[:, None]
+    gv = 3.0 * np.sin(lon_neg)[:, None] * np.cos(lat)[None, :]
+    ru, rv, rlat, rlon = regrid_to_uniform(gu, gv, lat, lon_neg)
+    want_u = 20.0 * np.cos(rlat)[None, :] ** 2 * (1.0 + 0.3 * np.sin(rlon))[:, None]
+    want_v = 3.0 * np.sin(rlon)[:, None] * np.cos(rlat)[None, :]
+    assert np.max(np.abs(ru - want_u)) < 0.05
+    assert np.max(np.abs(rv - want_v)) < 0.05
 
 
 def test_fortran_root_order_matches_reference_slots(jet_field):
