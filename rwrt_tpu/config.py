@@ -59,13 +59,16 @@ class RunConfig:
     #     Termination masks are applied per bound over the emitted history
     #     (identical semantics; kill timing can differ at tolerance level).
     bound_mode: str = "exact"
-    # Peel scheduling for dense mode (chunked driver, single device): run
-    # the whole batch for at most peel_caps[0] while-iterations, compact the
-    # lanes that actually did not finish into a power-of-two sub-batch,
-    # continue (next cap), and finish the last survivors uncapped. Bitwise
-    # equal to the unpeeled dense chunk; ~3x fewer lane-iteration units
-    # because the straggler tail stops taxing the full batch width. Ignored
-    # unless bound_mode='dense'.
+    # Peel scheduling (chunked driver, single device): run the whole batch
+    # for a capped number of while-iterations, compact the lanes that
+    # actually did not finish into a power-of-two sub-batch, continue (next
+    # cap), and finish the last survivors uncapped. Bitwise equal to the
+    # unpeeled chunk in BOTH bound modes; the straggler tail stops taxing
+    # the full batch width (~3x fewer lane-iteration units in dense mode,
+    # and in exact mode it removes a >10x cost cliff when late-run lanes
+    # pin near the step floor). peel_caps applies to dense mode; the exact
+    # path derives its caps from the chunk length (see
+    # tracer._rk45_group_chunk_peeled).
     peel: bool = True
     peel_caps: Sequence[int] = (24, 96)
     # Difficulty-bucketed lane scheduling for the grouped adaptive path

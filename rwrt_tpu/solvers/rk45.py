@@ -229,7 +229,7 @@ class _GroupCarry(NamedTuple):
 
 def integrate_group(
     rhs_fn, rhs_gv_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
-    rtol, atol, min_step, max_iters: int = 1_000_000,
+    rtol, atol, min_step, max_iters=1_000_000, state0=None,
 ):
     """Advance every ray through a GROUP of output bounds asynchronously.
 
@@ -260,42 +260,61 @@ def integrate_group(
 
     Returns:
       (hist (G, 7, R), y, t, h, f, prev_lon, prev_lat, iters, nfev,
-      lane_attempts) -- lane_attempts (R,) int32 counts each lane's step
-      attempts in this group (the cost signal for difficulty-bucketed
-      scheduling: the while-loop trip count is max(lane_attempts)).
+      lane_attempts, rejected, new_step, idx) -- lane_attempts (R,) int32
+      counts each lane's step attempts in this group (the cost signal for
+      difficulty-bucketed scheduling: the while-loop trip count is
+      max(lane_attempts)); the last three are controller flags for
+      suspend/resume (below).
+
+    SUSPEND/RESUME (the peel scheduler's primitive, mirroring
+    integrate_group_dense): the loop stops once ``iters`` reaches
+    ``max_iters`` (may be a traced scalar); the returned (y, t, h, f,
+    prev_lon, prev_lat) plus the (hist, rejected, new_step, lane_attempts,
+    idx) tail form a complete mid-chunk snapshot. Passing the tail back via
+    ``state0`` (possibly gathered to a lane SUBSET -- every per-lane
+    quantity is independent) continues the integration bitwise-exactly;
+    lanes with idx == G re-enter as finished no-ops. With ``state0`` the
+    NaN-entry prefill is skipped: the caller must have applied it once
+    (tracer._group_init_state) before the first leg.
     """
     g = bounds.shape[0]
     r = t.shape[0]
-    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-    # Rays with any NaN component at entry (e.g. rootless slots: finite
-    # position, NaN wavenumber/amp from initialization) never advance; the
-    # barrier path saves their UNCHANGED state at every bound (the interval
-    # entry marks them accepted with y untouched, and the kill masks cannot
-    # trigger on an unchanged state). Pre-fill all their slots and finish
-    # them outright. Their (ug, vg) rows are NaN: any NaN state component
-    # makes group_velocity NaN through its inputs (position -> fields, or
-    # the NaN wavenumber/kappa) for every state the initializer or the kill
-    # masks can produce.
-    idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
-    t = jnp.where(nan_mean, bounds[-1], t)
-    hist0 = jnp.where(
-        nan_mean[None, None, :],
-        jnp.concatenate(
-            [jnp.broadcast_to(y[None], (g,) + y.shape),
-             jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
-        jnp.nan,
-    ).astype(y.dtype)
+    if state0 is None:
+        nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+        # Rays with any NaN component at entry (e.g. rootless slots: finite
+        # position, NaN wavenumber/amp from initialization) never advance;
+        # the barrier path saves their UNCHANGED state at every bound (the
+        # interval entry marks them accepted with y untouched, and the kill
+        # masks cannot trigger on an unchanged state). Pre-fill all their
+        # slots and finish them outright. Their (ug, vg) rows are NaN: any
+        # NaN state component makes group_velocity NaN through its inputs
+        # (position -> fields, or the NaN wavenumber/kappa) for every state
+        # the initializer or the kill masks can produce.
+        idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
+        t = jnp.where(nan_mean, bounds[-1], t)
+        hist0 = jnp.where(
+            nan_mean[None, None, :],
+            jnp.concatenate(
+                [jnp.broadcast_to(y[None], (g,) + y.shape),
+                 jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
+            jnp.nan,
+        ).astype(y.dtype)
+        rejected0 = jnp.zeros_like(t, dtype=bool)
+        new_step0 = jnp.ones_like(t, dtype=bool)
+        lane_att0 = jnp.zeros_like(t, dtype=jnp.int32)
+    else:
+        hist0, rejected0, new_step0, lane_att0, idx0 = state0
 
     carry = _GroupCarry(
         y=y, t=t, h=h, f=f,
-        rejected=jnp.zeros_like(t, dtype=bool),
-        new_step=jnp.ones_like(t, dtype=bool),
+        rejected=rejected0,
+        new_step=new_step0,
         idx=idx0,
         hist=hist0,
         prev_lon=prev_lon, prev_lat=prev_lat,
         iters=jnp.zeros((), jnp.int32),
         nfev=jnp.zeros((), jnp.int32),
-        lane_att=jnp.zeros_like(t, dtype=jnp.int32),
+        lane_att=lane_att0,
     )
 
     def cond(c: _GroupCarry):
@@ -389,7 +408,8 @@ def integrate_group(
 
     out = jax.lax.while_loop(cond, body, carry)
     return (out.hist, out.y, out.t, out.h, out.f, out.prev_lon,
-            out.prev_lat, out.iters, out.nfev, out.lane_att)
+            out.prev_lat, out.iters, out.nfev, out.lane_att,
+            out.rejected, out.new_step, out.idx)
 
 
 class _DenseCarry(NamedTuple):

@@ -226,7 +226,7 @@ def _rk45_group_chunk(bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off,
         rk45_mod.integrate_group(
             rhs_fn, rhs_gv_fn, y, t, h, f, bounds, prev_lon, prev_lat,
             cut_off, rtol, atol, min_step, max_iters,
-        )
+        )[:10]
     )
     return (y, t, h, f, prev_lon, prev_lat), (
         hist[:, :5], hist[:, 5], hist[:, 6], iters, nfev, lane_att
@@ -340,6 +340,14 @@ def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
                            bounds, cut_off, nan0, iters, nfev, la)
 
 
+@functools.lru_cache(maxsize=None)
+def _dev_i32(v: int):
+    """Cached int32 device scalar: through a remote-device tunnel every
+    jnp.asarray(python_int) is a host->device round trip; the peel
+    orchestrators use a handful of recurring values per chunk."""
+    return jnp.asarray(v, jnp.int32)
+
+
 @jax.jit
 def _dense_init_state(y, bounds):
     """Entry state for a suspendable dense chunk (see integrate_group_dense
@@ -451,13 +459,13 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
     hist, rej, ns, la, t_shift = _dense_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
-    big = jnp.asarray(2_000_000, jnp.int32)
+    big = _dev_i32(2_000_000)
     yv, tv, hv, fv = y, t, h, f
     w = None  # None = full batch
     units = 0
     nfev_total = 0
     for cap in tuple(caps) + (None,):
-        cap_v = big if cap is None else jnp.asarray(cap, jnp.int32)
+        cap_v = big if cap is None else _dev_i32(int(cap))
         if w is None:
             (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
                 bg, yv, tv, hv, fv, bounds, rtol, atol, min_step, cap_v,
@@ -485,7 +493,173 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
 
     return _dense_postpass_jit(
         bg, hist, yv, tv, hv, fv, prev_lon, prev_lat, bounds, cut_off,
-        nan0, jnp.asarray(units, jnp.int32), jnp.asarray(nfev_total), la)
+        nan0, np.int32(units), np.int32(nfev_total), la)
+
+
+@jax.jit
+def _group_init_state(y, bounds):
+    """Entry state for a suspendable EXACT chunk (the state0 prefill of
+    solvers/rk45.py integrate_group): NaN-entry lanes finished outright with
+    their unchanged state in every history slot, fresh controller flags."""
+    g = bounds.shape[0]
+    r = y.shape[1]
+    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+    idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
+    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)  # applied by caller
+    hist0 = jnp.where(
+        nan_mean[None, None, :],
+        jnp.concatenate(
+            [jnp.broadcast_to(y[None], (g,) + y.shape),
+             jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
+        jnp.nan,
+    ).astype(y.dtype)
+    return (hist0, jnp.zeros(r, bool), jnp.ones(r, bool),
+            jnp.zeros(r, jnp.int32), idx0, t_shift)
+
+
+@jax.jit
+def _group_phase(bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off,
+                 rtol, atol, min_step, cap, hist, rej, ns, la, idx):
+    """One capped leg of a suspendable EXACT integration (cap is traced, so
+    every leg of every peel round shares one compiled program per width)."""
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    def rhs_gv_fn(yy, tt=0.0):
+        return ray_mod.rhs_and_gv(bg, yy, tt)
+
+    return rk45_mod.integrate_group(
+        rhs_fn, rhs_gv_fn, y, t, h, f, bounds, prev_lon, prev_lat,
+        cut_off, rtol, atol, min_step, max_iters=cap,
+        state0=(hist, rej, ns, la, idx),
+    )
+
+
+@jax.jit
+def _group_peel_stats(it, nf, idx, g):
+    """Pack the peel round's scalars into one device fetch (see
+    _peel_leg_stats: each device->host read is a full tunnel round trip)."""
+    return jnp.stack([
+        it.astype(jnp.int32), nf.astype(jnp.int32),
+        jnp.sum(idx < g).astype(jnp.int32),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _group_phase_subset(bg, yv, tv, hv, fv, plv, pav, hist, rej, ns, la,
+                        idx, bounds, cut_off, rtol, atol, min_step, cap,
+                        w: int):
+    """One capped EXACT leg over the unfinished-lane SUBSET, fused select ->
+    gather -> integrate -> scatter in a single program (the exact-mode twin
+    of _dense_phase_subset; see its docstring for why the host only ever
+    reads one packed scalar triple per leg). Pad slots duplicate the first
+    unfinished lane: identical computation, identical scattered bytes."""
+    g = bounds.shape[0]
+
+    def rhs_fn(yy, tt=0.0):
+        dy, _ = ray_mod.rhs(bg, yy, tt)
+        return dy
+
+    def rhs_gv_fn(yy, tt=0.0):
+        return ray_mod.rhs_and_gv(bg, yy, tt)
+
+    unf = jnp.nonzero(idx < g, size=w, fill_value=-1)[0]
+    sub = jnp.where(unf < 0, unf[0], unf).astype(jnp.int32)
+
+    def g1(a):
+        return jnp.take(a, sub, axis=-1)
+
+    (hist_s, y_s, t_s, h_s, f_s, pl_s, pa_s, it, nf, la_s, rej_s, ns_s,
+     idx_s) = rk45_mod.integrate_group(
+        rhs_fn, rhs_gv_fn, g1(yv), g1(tv), g1(hv), g1(fv), bounds,
+        g1(plv), g1(pav), cut_off, rtol, atol, min_step, max_iters=cap,
+        state0=(jnp.take(hist, sub, axis=-1), g1(rej), g1(ns), g1(la),
+                g1(idx)),
+    )
+    return (yv.at[..., sub].set(y_s), tv.at[sub].set(t_s),
+            hv.at[sub].set(h_s), fv.at[..., sub].set(f_s),
+            plv.at[sub].set(pl_s), pav.at[sub].set(pa_s),
+            hist.at[..., sub].set(hist_s), rej.at[sub].set(rej_s),
+            ns.at[sub].set(ns_s), la.at[sub].set(la_s),
+            idx.at[sub].set(idx_s), it, nf)
+
+
+def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
+                             cut_off, rtol, atol, min_step,
+                             caps=None, min_width=512):
+    """EXACT chunk under PEEL scheduling: bitwise-equal to
+    _rk45_group_chunk, immune to its straggler catastrophe.
+
+    The grouped while-loop's cost is trip-count x batch width and the trip
+    count is the MAX over lanes. Late in long runs a handful of lanes drift
+    into critical layers where the error-controlled step collapses toward
+    the step floor: a single lane at h ~ 1 min needs ~7000 accepted steps
+    through a 5-day chunk, so the full 100k-lane batch pays ~7000 trips --
+    a >10x cost cliff (and on the axon tunnel, a worker-killing single
+    program). Peel scheduling bounds the damage: run the whole batch for at
+    most caps[0] iterations (easy chunks finish right there, paying ZERO
+    overhead beyond one packed scalar fetch), then compact the lanes that
+    actually did not finish into a power-of-two padded sub-batch and
+    continue them, narrowing each round, finishing the last survivors
+    uncapped at a width where even 10^4 trips are cheap.
+
+    Exactness: every per-lane quantity in integrate_group's carry is
+    independent and travels with the lane through suspend/gather/resume
+    (state0), widths stay 8-aligned, and pad slots are duplicates of a real
+    lane whose scattered outputs overwrite with identical bytes -- the same
+    argument (and test) as the dense peel and the bucketed scheduler.
+
+    Default caps scale with the chunk length G: (4G, 16G, 64G) -- the
+    median lane needs ~1-3 attempts per bound, so 4G finishes the bulk;
+    stragglers get two progressively narrower capped legs before the
+    uncapped tail.
+
+    Returns the _rk45_group_chunk structure with iters = LANE-ITERATION
+    UNITS (sum over legs of trip count x width) rather than a trip count.
+    """
+    r = t.shape[0]
+    g = bounds.shape[0]
+    if caps is None:
+        caps = (4 * g, 16 * g, 64 * g)
+    hist, rej, ns, la, idx, t_shift = _group_init_state(y, bounds)
+    t = jnp.where(jnp.isnan(t_shift), t, t_shift)
+
+    big = _dev_i32(2_000_000)
+    yv, tv, hv, fv, plv, pav = y, t, h, f, prev_lon, prev_lat
+    gj = _dev_i32(g)
+    w = None  # None = full batch
+    units = 0
+    nfev_total = 0
+    for cap in tuple(caps) + (None,):
+        cap_v = big if cap is None else _dev_i32(int(cap))
+        if w is None:
+            (hist, yv, tv, hv, fv, plv, pav, it, nf, la, rej, ns, idx) = (
+                _group_phase(
+                    bg, yv, tv, hv, fv, plv, pav, bounds, cut_off,
+                    rtol, atol, min_step, cap_v, hist, rej, ns, la, idx))
+            width = r
+        else:
+            (yv, tv, hv, fv, plv, pav, hist, rej, ns, la, idx, it, nf) = (
+                _group_phase_subset(
+                    bg, yv, tv, hv, fv, plv, pav, hist, rej, ns, la, idx,
+                    bounds, cut_off, rtol, atol, min_step, cap_v, w=w))
+            width = w
+        it_h, nf_h, n_unf = (int(x) for x in np.asarray(
+            _group_peel_stats(it, nf, idx, gj)))
+        units += it_h * width
+        nfev_total += nf_h
+        if cap is None or n_unf == 0:
+            break
+        w = max(min_width, 1 << int(n_unf - 1).bit_length())
+        if w >= r:
+            w = None  # no compaction win; keep full width
+    # units/nfev are host ints already -- return them as numpy scalars
+    # rather than paying a host->device transfer per chunk.
+    return (yv, tv, hv, fv, plv, pav), (
+        hist[:, :5], hist[:, 5], hist[:, 6],
+        np.int32(units), np.int32(nfev_total), la)
 
 
 @functools.partial(jax.jit,
@@ -590,7 +764,7 @@ def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
         return rk45_mod.integrate_group(
             rhs_fn, rhs_gv_fn, yy, tt, hh, ff, bounds, pl, pa,
             cut_off, rtol, atol, min_step, max_iters,
-        )
+        )[:10]
 
     (hist, y2, t2, h2, f2, pl2, pa2, iters, nfev, la) = jax.lax.map(
         one, (ys, ts, hs, fs, pls, pas))

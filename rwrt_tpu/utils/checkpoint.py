@@ -368,6 +368,19 @@ def trace_rays_chunked(
                         cut_off, rtol, atol, min_step,
                     ))
                 ray_steps = int(np.asarray(iters)) * n_lanes
+            elif config.peel and n_lanes >= 64:
+                # Exact mode under peel scheduling: bitwise-equal to the
+                # plain chunk, immune to its straggler catastrophe (a lane
+                # pinned near the step floor late in a long run makes the
+                # full batch pay its thousands of trips).
+                (y, t, h, f_carry, prev_lon, prev_lat), (
+                    ys, ugs, vgs, iters, _, _la) = (
+                    _tracer_mod._rk45_group_chunk_peeled(
+                        bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
+                        cut_off, rtol, atol, min_step,
+                    ))
+                # peeled iters is already lane-iteration units
+                ray_steps = int(np.asarray(iters))
             else:
                 (y, t, h, f_carry, prev_lon, prev_lat), (
                     ys, ugs, vgs, iters, _, _la) = _rk45_group_chunk(
