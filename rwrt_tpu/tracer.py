@@ -459,13 +459,23 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
     hist, rej, ns, la, t_shift = _dense_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
-    big = _dev_i32(2_000_000)
     yv, tv, hv, fv = y, t, h, f
     w = None  # None = full batch
     units = 0
     nfev_total = 0
-    for cap in tuple(caps) + (None,):
-        cap_v = big if cap is None else _dev_i32(int(cap))
+    leg = 0
+    while True:
+        # Past the listed caps, legs repeat with a 4x-escalating cap up to
+        # a ceiling: every program stays bounded (an uncapped leg could be
+        # a single multi-second program when a straggler is pinned near the
+        # step floor), while a deep tail doesn't pay one host fetch per
+        # caps[-1] trips (see _rk45_group_chunk_peeled).
+        if leg < len(caps):
+            cap = caps[leg]
+        else:
+            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1),
+                      max(8192, caps[-1]))
+        cap_v = _dev_i32(int(cap))
         if w is None:
             (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
                 bg, yv, tv, hv, fv, bounds, rtol, atol, min_step, cap_v,
@@ -483,10 +493,13 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
             _peel_leg_stats(it, nf, tv, bounds)))
         units += it_h * width
         nfev_total += nf_h
-        if cap is None:
-            break
         if n_unf == 0:
             break
+        if it_h == 0 and leg >= len(caps):
+            raise RuntimeError(
+                f"peel stalled: {n_unf} lanes unfinished but the leg made "
+                "no progress")
+        leg += 1
         w = max(min_width, 1 << int(n_unf - 1).bit_length())
         if w >= r:
             w = None  # no compaction win; keep full width
@@ -613,8 +626,12 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
 
     Default caps scale with the chunk length G: (4G, 16G, 64G) -- the
     median lane needs ~1-3 attempts per bound, so 4G finishes the bulk;
-    stragglers get two progressively narrower capped legs before the
-    uncapped tail.
+    stragglers get progressively narrower capped legs. The LAST cap then
+    REPEATS until every lane finishes: there is never an uncapped program,
+    so no single dispatch can exceed caps[-1] trips -- a lane pinned at the
+    step floor through a 5-day chunk needs ~6x10^4 accepted steps, and one
+    uncapped narrow leg running them all would itself be a worker-killing
+    multi-second program. Each repeat costs one packed scalar fetch.
 
     Returns the _rk45_group_chunk structure with iters = LANE-ITERATION
     UNITS (sum over legs of trip count x width) rather than a trip count.
@@ -626,14 +643,22 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
     hist, rej, ns, la, idx, t_shift = _group_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
-    big = _dev_i32(2_000_000)
     yv, tv, hv, fv, plv, pav = y, t, h, f, prev_lon, prev_lat
     gj = _dev_i32(g)
     w = None  # None = full batch
     units = 0
     nfev_total = 0
-    for cap in tuple(caps) + (None,):
-        cap_v = big if cap is None else _dev_i32(int(cap))
+    leg = 0
+    while True:
+        # Past the listed caps, legs repeat with a 4x-escalating cap up to
+        # a ceiling (see the dense peel): bounded programs, few host
+        # fetches even for a step-floor-pinned tail.
+        if leg < len(caps):
+            cap = caps[leg]
+        else:
+            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1),
+                      max(8192, caps[-1]))
+        cap_v = _dev_i32(int(cap))
         if w is None:
             (hist, yv, tv, hv, fv, plv, pav, it, nf, la, rej, ns, idx) = (
                 _group_phase(
@@ -650,8 +675,13 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
             _group_peel_stats(it, nf, idx, gj)))
         units += it_h * width
         nfev_total += nf_h
-        if cap is None or n_unf == 0:
+        if n_unf == 0:
             break
+        if it_h == 0 and leg >= len(caps):
+            raise RuntimeError(
+                f"peel stalled: {n_unf} lanes unfinished but the leg made "
+                "no progress")
+        leg += 1
         w = max(min_width, 1 << int(n_unf - 1).bit_length())
         if w >= r:
             w = None  # no compaction win; keep full width
