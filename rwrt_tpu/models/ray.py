@@ -73,6 +73,17 @@ def sample_bg(bg: "Background", lon, lat, t):
         if member.shape[0] != lon.shape[0]:
             reps = lon.shape[0] // member.shape[0]
             member = jnp.tile(member, reps)
+        if bg.fields.ndim == 5:
+            # Time-varying members: (M, T, W, H, 4C) stacks, per-lane
+            # member offset + per-lane time lerp in one gather expression.
+            tfrac = (t - bg.bg_t0) / bg.bg_dt
+            tfrac = jnp.broadcast_to(jnp.asarray(tfrac, lon.dtype),
+                                     lon.shape)
+            raw = interp.sample_raw_packed_member_time(
+                bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat,
+                member, tfrac
+            )
+            return interp.mercator_transform(raw, lat)
         raw = interp.sample_raw_packed_member(
             bg.fields, bg.lon0, bg.lat0, bg.dx, bg.dy, lon, lat, member
         )

@@ -395,6 +395,52 @@ def sample_raw_packed_member(packed, lon0, lat0, dx, dy, lon, lat, member):
     return jnp.where(in_range[:, None], vals, jnp.nan)
 
 
+def sample_raw_packed_member_time(packed, lon0, lat0, dx, dy, lon, lat,
+                                  member, tfrac):
+    """Time-varying ensemble variant: per-lane member AND time selection.
+
+    packed: (M, T, W, H, 4C) corner-packed stacks (one time sequence per
+    member); member: (R,) int32 lane -> member index; tfrac: (R,) fractional
+    frame index. Two row gathers per lane (one per bracketing frame) with
+    the member offset folded into the row index -- the same cost as the
+    single-member time-varying path (sample_raw_packed_time), to which this
+    is bit-identical per member.
+    """
+    m, nt, w, h, c4 = packed.shape
+    c = c4 // 4
+    tf = jnp.clip(tfrac, 0.0, nt - 1.0)
+    i0 = jnp.clip(jnp.floor(tf).astype(jnp.int32), 0, nt - 1)
+    i1 = jnp.clip(i0 + 1, 0, nt - 1)
+    w1 = tf - i0.astype(tf.dtype)
+
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
+    sx = ix - x0.astype(ix.dtype)
+    sy = iy - y0.astype(iy.dtype)
+
+    flat = packed.reshape(m * nt * w * h, c4)
+    cell = member * (nt * w * h) + x0 * h + y0
+
+    def frame(ti):
+        rows = flat.at[ti * (w * h) + cell].get(mode="promise_in_bounds")
+        fc = rows[:, 0:c]
+        fd = rows[:, c : 2 * c]
+        fa = rows[:, 2 * c : 3 * c]
+        fb = rows[:, 3 * c : 4 * c]
+        wa = ((1.0 - sx) * sy)[:, None]
+        wb = (sx * sy)[:, None]
+        wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+        wd = (sx * (1.0 - sy))[:, None]
+        return fa * wa + fb * wb + fc * wc + fd * wd
+
+    vals = frame(i0) * (1.0 - w1)[:, None] + frame(i1) * w1[:, None]
+    in_range = jnp.abs(lat) <= 0.5 * pi
+    return jnp.where(in_range[:, None], vals, jnp.nan)
+
+
 def sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac) -> jnp.ndarray:
     """Time-varying variant: bs_fields (T, W, H, C), tfrac (R,) fractional
     frame index (clamped to the ends). Linear interpolation in time of the

@@ -1284,10 +1284,12 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
       (interp.sample_raw_packed_member). The group-asynchronous adaptive
       controller already decouples per-lane progress, so a fast member never
       waits on a slow one -- unlike a vmap, whose while_loop trip count
-      would be the max over members. With ``mesh`` the flattened lanes (and
-      their member ids) shard over the 'rays' axis through the same
-      collective-free shard_map runner as single runs; the stacked member
-      fields replicate.
+      would be the max over members. Time-varying members fold their
+      per-lane time lerp into the same gather
+      (interp.sample_raw_packed_member_time). With ``mesh`` the flattened
+      lanes (and their member ids) shard over the 'rays' axis through the
+      same collective-free shard_map runner as single runs; the stacked
+      member fields replicate.
     """
     config.validate()
     dtype = bs_members[0].fields.dtype
@@ -1322,13 +1324,19 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
         ]
 
     # rk45: flatten members into lanes (member-major) over ONE stacked
-    # background with per-lane member ids.
+    # background with per-lane member ids. Time-varying members ((T, W, H,
+    # 4C) stacks) fold into the same gather with a per-lane time lerp
+    # (interp.sample_raw_packed_member_time); their time metadata must
+    # agree, since bg_t0/bg_dt are shared scalars of the stacked background.
     if members[0].fields.ndim == 4:
-        raise NotImplementedError(
-            "time-varying ensemble members are supported with the rk4 "
-            "integrator (vmapped); the adaptive path's member-offset gather "
-            "assumes static member stacks"
-        )
+        for m in members[1:]:
+            if (float(m.bg_t0) != float(members[0].bg_t0)
+                    or float(m.bg_dt) != float(members[0].bg_dt)
+                    or m.fields.shape != members[0].fields.shape):
+                raise ValueError(
+                    "time-varying ensemble members must share frame count "
+                    "and time metadata (bg_t0, bg_dt)"
+                )
     inits = [initialize(bg, source_lon, source_lat, zwn,
                         config.root_order) for bg in members]
     y0 = jnp.concatenate([i[0] for i in inits], axis=1)
