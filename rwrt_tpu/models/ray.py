@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax.numpy as jnp
 
 from rwrt_tpu.constants import mwn_cap, pi, rearth
+from rwrt_tpu.ops import groupvel as groupvel_mod
 from rwrt_tpu.ops import interp
 from rwrt_tpu.ops.groupvel import group_velocity
 
@@ -163,44 +164,90 @@ def _rhs_core(bg: Background, y: jnp.ndarray, t, with_raw_gv: bool):
     lon, lat, kx, ky, amp = y[S_LON], y[S_LAT], y[S_KX], y[S_KY], y[S_AMP]
 
     err = fail_mask(y)
-    ky_safe = jnp.where(err, jnp.nan, ky)
 
-    f = sample_bg(bg, lon, lat, t)
-    fmu, fmv = f[interp.M_U], f[interp.M_V]
-    fmux, fmuy = f[interp.M_UX], f[interp.M_UY]
-    fmvx, fmvy = f[interp.M_VX], f[interp.M_VY]
-    fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
-    fmqxx, fmqxy = f[interp.M_QXX], f[interp.M_QXY]
-    fmqyx, fmqyy = f[interp.M_QYX], f[interp.M_QYY]
+    # Autodiff hygiene (primal-identical): every NaN the reference
+    # semantics call for is applied as a FINAL constant-branch where over
+    # values computed from NaN-free substitutes, never by letting NaN flow
+    # through the arithmetic. NaN intermediates have NaN partials, and a
+    # zero cotangent times a NaN partial is NaN -- without this, one dead
+    # lane poisons the shared background-field gradient through the
+    # gather's scatter-add, and the pipeline stops being differentiable
+    # (tests/test_autodiff.py). Live lanes see bit-identical inputs.
+    dead = (jnp.isnan(lon) | jnp.isnan(lat) | jnp.isnan(kx)
+            | jnp.isnan(ky) | jnp.isnan(amp))
+    bad = err | dead  # lanes whose dy rows are all NaN by construction
+    lon_q = jnp.where(dead, 0.0, lon)
+    lat_q = jnp.where(dead, 0.0, lat)
+    kx_q = jnp.where(bad, 1.0, kx)
+    ky_q = jnp.where(bad, 0.0, ky)
+    amp_q = jnp.where(dead, 0.0, amp)
 
-    ug, vg = group_velocity(fmu, fmv, fmqx, fmqy, kx, ky_safe)
+    # Sample at sanitized positions: dead lanes read grid cell (0, 0); their
+    # rows are overwritten below. Live lanes (err included -- their
+    # positions are finite) sample exactly where they always did.
+    f = sample_bg(bg, lon_q, lat_q, t)
+    fn = jnp.isnan(f)
+    f_q = jnp.where(fn, 0.0, f)
+    fmu, fmv = f_q[interp.M_U], f_q[interp.M_V]
+    fmux, fmuy = f_q[interp.M_UX], f_q[interp.M_UY]
+    fmvx, fmvy = f_q[interp.M_VX], f_q[interp.M_VY]
+    fmqx, fmqy = f_q[interp.M_QX], f_q[interp.M_QY]
+    fmqxx, fmqxy = f_q[interp.M_QXX], f_q[interp.M_QXY]
+    fmqyx, fmqyy = f_q[interp.M_QYX], f_q[interp.M_QYY]
+    n_u, n_v = fn[interp.M_U], fn[interp.M_V]
+    n_qx, n_qy = fn[interp.M_QX], fn[interp.M_QY]
 
-    kap = ky_safe / kx
+    ug, vg, _, _ = groupvel_mod.group_velocity_core(
+        fmu, fmv, fmqx, fmqy, kx_q, ky_q)
+
+    kap = ky_q / kx_q
     kap2 = kap * kap
     kap1 = 1.0 + kap2
-    kk = kx * kx * kap1  # K^2 = k^2 + m^2
+    kk = kx_q * kx_q * kap1  # K^2 = k^2 + m^2
 
-    dzwn = -kx * ((fmux + kap * fmvx) + (kap * fmqxx - fmqyx) / kk)
-    dmwn = -kx * ((fmuy + kap * fmvy) + (kap * fmqxy - fmqyy) / kk)
+    dzwn = -kx_q * ((fmux + kap * fmvx) + (kap * fmqxx - fmqyx) / kk)
+    dmwn = -kx_q * ((fmuy + kap * fmvy) + (kap * fmqxy - fmqyy) / kk)
 
     damp1 = 2.0 * (fmux + fmvy + kap * (fmvx + fmuy)) / kap1
     damp2 = 2.0 * (kap * (fmqxx - fmqyy) + (kap2 - 1.0) * fmqxy) / (kk * kap1)
-    damp3 = -2.0 * jnp.sin(lat) * fmv
+    damp3 = -2.0 * jnp.sin(lat_q) * fmv
     damp = damp1 + damp2 + damp3
 
+    # Per-row NaN sets = exact IEEE propagation of the original expressions
+    # (err lanes forced whole-row NaN, wr.py:508-514; any finite kap keeps a
+    # NaN field term NaN since 0 * NaN = NaN).
+    r0n = bad | n_u | n_qx | n_qy
+    r1n = bad | n_v | n_qx | n_qy
+    r2n = bad | fn[interp.M_UX] | fn[interp.M_VX] | fn[interp.M_QXX] | fn[interp.M_QYX]
+    r3n = bad | fn[interp.M_UY] | fn[interp.M_VY] | fn[interp.M_QXY] | fn[interp.M_QYY]
+    r4n = (bad | fn[interp.M_UX] | fn[interp.M_UY] | fn[interp.M_VX]
+           | fn[interp.M_VY] | fn[interp.M_QXX] | fn[interp.M_QXY]
+           | fn[interp.M_QYY] | n_v)
+
     inv_r = 1.0 / rearth
+    nan = jnp.asarray(jnp.nan, y.dtype)
     dy = jnp.stack(
         [
-            ug * inv_r,
-            vg * jnp.cos(lat) * inv_r,
-            dzwn * inv_r,
-            dmwn * inv_r,
-            damp * amp * inv_r,
+            jnp.where(r0n, nan, ug * inv_r),
+            jnp.where(r1n, nan, vg * jnp.cos(lat_q) * inv_r),
+            jnp.where(r2n, nan, dzwn * inv_r),
+            jnp.where(r3n, nan, dmwn * inv_r),
+            jnp.where(r4n, nan, damp * amp_q * inv_r),
         ]
     )
-    dy = jnp.where(err[None, :], jnp.nan, dy)
     if with_raw_gv:
-        ug_raw, vg_raw = group_velocity(fmu, fmv, fmqx, fmqy, kx, ky)
+        # Raw semantics: err-by-|ky| lanes keep their real ky (finite group
+        # velocity); dead lanes and NaN-field samples are NaN. Uses the
+        # SAME public group_velocity call graph as group_velocity_at (raw
+        # sampled fields, raw wavenumbers -- it sanitizes internally) so
+        # the grouped runner's fused stage-7 (ug, vg) compile to the
+        # bit-identical expression the barrier path's post-pass uses
+        # (tests assert atol=0 equality between the two).
+        ug_r, vg_r = group_velocity(
+            f[interp.M_U], f[interp.M_V], f[interp.M_QX], f[interp.M_QY],
+            kx, ky)
+        ug_raw = jnp.where(dead, nan, ug_r)
+        vg_raw = jnp.where(dead, nan, vg_r)
         return dy, err, ug_raw, vg_raw
     return dy, err, None, None
 
@@ -211,12 +258,22 @@ def group_velocity_at(bg: Background, lon, lat, kx, ky, t=0.0, *,
 
     Used to (re)derive the output slots after each accepted step (reference
     wr.py:737-746) and at initialization (wr.py:393-395, zero_invalid=True).
+
+    Autodiff-clean like the RHS: NaN positions sample a sanitized cell and
+    get their NaN re-applied as a final where (group_velocity handles NaN
+    wavenumber/field args the same way internally).
     """
-    f = sample_bg(bg, lon, lat, t)
-    return group_velocity(
+    posn = jnp.isnan(lon) | jnp.isnan(lat)
+    lon_q = jnp.where(posn, 0.0, lon)
+    lat_q = jnp.where(posn, 0.0, lat)
+    f = sample_bg(bg, lon_q, lat_q, t)
+    ug, vg = group_velocity(
         f[interp.M_U], f[interp.M_V], f[interp.M_QX], f[interp.M_QY],
         kx, ky, zero_invalid=zero_invalid,
     )
+    nan = jnp.asarray(jnp.nan, ug.dtype)
+    mask = posn if not zero_invalid else (posn & (kx != 0.0))
+    return jnp.where(mask, nan, ug), jnp.where(mask, nan, vg)
 
 
 def haversine(lon_a, lat_a, lon_b, lat_b) -> jnp.ndarray:

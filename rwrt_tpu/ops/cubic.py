@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from rwrt_tpu.constants import delt, mwn_cap, rearth
@@ -82,32 +83,20 @@ def _solve_cubic_depressed(p, q):
     return jnp.stack([r0, r1, r2]), pair_real
 
 
-def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Meridional-wavenumber roots at each point (vectorized cal_ky).
+@jax.custom_jvp
+def _roots_from_coeffs(c3, c2, c1, c0, nonzero_k) -> jnp.ndarray:
+    """Sorted NaN-padded real roots (R, 3) of c3 m^3 + c2 m^2 + c1 m + c0.
 
-    Args:
-      fu, fv, fqx, fqy: (R,) Mercator background samples.
-      freq: wave frequency (scalar or (R,)).
-      zwn: (R,) or scalar dimensionless zonal wavenumber k*R.
-
-    Returns:
-      roots: (R, 3) real roots, NaN-padded, canonical order (non-negative
-        ascending-|m| first, then negative ascending-|m|).
-      count: (R,) number of valid roots.
+    Carries a custom JVP: the closed-form internals are a thicket of
+    branch selects whose untaken branches evaluate to NaN (0 * NaN = NaN
+    poisons reverse-mode cotangents), so tangents come from the implicit
+    function theorem instead -- P(m; c) = 0 gives dm = -(sum_k dc_k m^k) /
+    P'(m), exact wherever the root is simple. This is what makes the whole
+    seed -> integrate pipeline end-to-end differentiable (adjoint
+    sensitivities of trajectories w.r.t. the background wind; no reference
+    counterpart -- a capability of the JAX re-design).
     """
-    fu, fv, fqx, fqy, zwn = jnp.broadcast_arrays(
-        *(jnp.asarray(a) for a in (fu, fv, fqx, fqy, zwn))
-    )
-    dtype = fu.dtype
-    nonzero_k = zwn != 0.0
-    kz = jnp.where(nonzero_k, zwn, 1.0)
-    ps = freq / kz * rearth
-
-    # Coefficients highest-degree first: c3 m^3 + c2 m^2 + c1 m + c0.
-    c3 = fv
-    c2 = kz * (fu - ps)
-    c1 = kz * kz * fv + fqx
-    c0 = kz**3 * (fu - ps) - fqy * kz
+    dtype = c3.dtype
 
     # Effective degree over the |m| < 100 root window. The reference reduces
     # degree only on EXACT zeros (bs.py:1017-1021) and delegates tiny leading
@@ -223,8 +212,63 @@ def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jn
         jnp.isnan(roots), jnp.inf, jnp.abs(roots) + jnp.where(roots < 0, 200.0, 0.0)
     )
     order = jnp.argsort(key, axis=-1)
-    roots = jnp.take_along_axis(roots, order, axis=-1)
-    count = jnp.sum(valid, axis=-1)
+    return jnp.take_along_axis(roots, order, axis=-1)
+
+
+@_roots_from_coeffs.defjvp
+def _roots_from_coeffs_jvp(primals, tangents):
+    c3, c2, c1, c0, nonzero_k = primals
+    dc3, dc2, dc1, dc0, _ = tangents
+    m = _roots_from_coeffs(c3, c2, c1, c0, nonzero_k)
+    c3e, c2e, c1e, c0e = (c[..., None] for c in (c3, c2, c1, c0))
+    d3e, d2e, d1e, d0e = (jnp.broadcast_to(jnp.asarray(d, m.dtype), c3.shape)[..., None]
+                          for d in (dc3, dc2, dc1, dc0))
+    # Implicit function theorem on P(m; c) = 0. NaN (absent) root slots get
+    # zero tangent so they cannot poison downstream reductions -- and the
+    # coefficient arrays entering the linear tangent map must themselves be
+    # NaN-free, because reverse mode TRANSPOSES this map: a zero cotangent
+    # times a NaN m^k is NaN. Double roots (P'(m) = 0) get den -> 1 rather
+    # than an honest infinite sensitivity, for the same reason (0 * inf).
+    absent = jnp.isnan(m)
+    m_s = jnp.where(absent, 0.0, m)
+    num = ((d3e * m_s + d2e) * m_s + d1e) * m_s + d0e
+    den = (3.0 * c3e * m_s + 2.0 * c2e) * m_s + c1e
+    den = jnp.where(jnp.isnan(den) | (den == 0.0), 1.0, den)
+    dm = jnp.where(absent, 0.0, -num / den)
+    return m, dm
+
+
+def solve_dispersion_cubic(fu, fv, fqx, fqy, freq, zwn) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Meridional-wavenumber roots at each point (vectorized cal_ky).
+
+    Args:
+      fu, fv, fqx, fqy: (R,) Mercator background samples.
+      freq: wave frequency (scalar or (R,)).
+      zwn: (R,) or scalar dimensionless zonal wavenumber k*R.
+
+    Returns:
+      roots: (R, 3) real roots, NaN-padded, canonical order (non-negative
+        ascending-|m| first, then negative ascending-|m|).
+      count: (R,) number of valid roots.
+
+    Differentiable end to end: root tangents come from the implicit
+    function theorem (see _roots_from_coeffs).
+    """
+    fu, fv, fqx, fqy, zwn = jnp.broadcast_arrays(
+        *(jnp.asarray(a) for a in (fu, fv, fqx, fqy, zwn))
+    )
+    nonzero_k = zwn != 0.0
+    kz = jnp.where(nonzero_k, zwn, 1.0)
+    ps = freq / kz * rearth
+
+    # Coefficients highest-degree first: c3 m^3 + c2 m^2 + c1 m + c0.
+    c3 = fv
+    c2 = kz * (fu - ps)
+    c1 = kz * kz * fv + fqx
+    c0 = kz**3 * (fu - ps) - fqy * kz
+
+    roots = _roots_from_coeffs(c3, c2, c1, c0, nonzero_k)
+    count = jnp.sum(jnp.logical_not(jnp.isnan(roots)), axis=-1)
     return roots, count
 
 
