@@ -10,6 +10,41 @@ from rwrt_tpu.config import RunConfig
 HOUR, DAY = 3600.0, 86400.0
 
 
+def test_nan_hole_background_matches_reference(jet_field):
+    """Golden differential on a background containing a NaN hole (missing
+    data): trajectories and NaN masks must match the reference, whose RHS
+    gets its NaNs from raw IEEE propagation. Pins the per-row NaN-union
+    reconstruction in models/ray.py _rhs_core (the autodiff-hygiene path
+    applies NaN as final selects instead of letting it propagate)."""
+    from refshim import run_reference_wr
+
+    u, v, lat, lon = jet_field
+    u = u.copy()
+    v = v.copy()
+    # A hole in the northern mid-latitudes, in the path of the rays.
+    u[10:14, 24:27] = np.nan
+    v[11:13, 25:26] = np.nan
+
+    case = dict(zwn=(3.0, 5.0), sw_lon=300.0, sw_lat=20.0, dlon=30.0,
+                dlat=10.0, nnx=4, nny=2, tstep=2 * HOUR, ttotal=3 * DAY)
+    ref = run_reference_wr(u, v, lat, lon, inte_method="", **case)
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    cfg = RunConfig(integrator="rk4", cal_dtype="float64", **case)
+    traj = rt.trace_rays(bs, cfg)
+
+    # Slot-aware comparison (canonical vs reference slot order is the known
+    # deliberate divergence); gates: sub-0.01-degree RMSE, <1% alive/dead
+    # mask mismatch.
+    from test_trajectories import _compare
+
+    rmse, frac = _compare(ref, traj, rmse_deg_gate=1e-2,
+                          nan_mismatch_frac=0.01)
+    print(f"NaN-hole RK4 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
+    # The hole must actually have killed someone, or the test is vacuous.
+    ours_n = np.isnan(np.asarray(traj.lat))
+    assert ours_n[-1].sum() > ours_n[0].sum()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_random_backgrounds_nan_discipline(seed):
     rng = np.random.default_rng(seed)
