@@ -431,7 +431,8 @@ def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
 
 def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
                                    bounds, cut_off, rtol, atol, min_step,
-                                   caps=(24, 96), min_width=512):
+                                   caps=(24, 96), min_width=512,
+                                   cap_ceiling=None):
     """Dense chunk under PEEL scheduling: bitwise-equal to
     _rk45_group_chunk_dense, typically ~3-4x cheaper at 100k-lane scale.
 
@@ -474,7 +475,8 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
             cap = caps[leg]
         else:
             cap = min(caps[-1] * 4 ** (leg - len(caps) + 1),
-                      max(8192, caps[-1]))
+                      max(8192, caps[-1]) if cap_ceiling is None
+                      else cap_ceiling)
         cap_v = _dev_i32(int(cap))
         if w is None:
             (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
@@ -601,7 +603,7 @@ def _group_phase_subset(bg, yv, tv, hv, fv, plv, pav, hist, rej, ns, la,
 
 def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
                              cut_off, rtol, atol, min_step,
-                             caps=None, min_width=512):
+                             caps=None, min_width=512, cap_ceiling=None):
     """EXACT chunk under PEEL scheduling: bitwise-equal to
     _rk45_group_chunk, immune to its straggler catastrophe.
 
@@ -640,6 +642,8 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
     g = bounds.shape[0]
     if caps is None:
         caps = (4 * g, 16 * g, 64 * g)
+    if cap_ceiling is None:
+        cap_ceiling = max(8192, caps[-1])
     hist, rej, ns, la, idx, t_shift = _group_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
@@ -656,8 +660,7 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
         if leg < len(caps):
             cap = caps[leg]
         else:
-            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1),
-                      max(8192, caps[-1]))
+            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1), cap_ceiling)
         cap_v = _dev_i32(int(cap))
         if w is None:
             (hist, yv, tv, hv, fv, plv, pav, it, nf, la, rej, ns, idx) = (
