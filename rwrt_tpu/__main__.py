@@ -42,23 +42,10 @@ def main(argv=None):
     cfg = RunConfig(**raw)
 
     # mesh=True builds the mesh inside run() over cfg.mesh_devices devices.
+    # --wnmaps rides the same run: the maps are computed from the basic
+    # state run() already prepared (no second load + prepare pass).
     run(cfg, paths, mesh=True if args.mesh else None, chunked=args.chunked,
-        checkpoint_path=args.checkpoint)
-
-    if args.wnmaps:
-        import numpy as np
-
-        from rwrt_tpu.diagnostics import compute_wavenumber_maps
-        from rwrt_tpu.io import ncio
-        from rwrt_tpu.models.basic_state import prepare
-
-        u, v, lat, lon = ncio.load_wind(paths.inputuv, cfg.read_dtype)
-        bs = prepare(u, v, lat, lon, xcyclic=cfg.xcyclic,
-                     read_dtype=cfg.read_dtype, cal_dtype=cfg.cal_dtype)
-        zwn = np.asarray(cfg.zwn_array())
-        maps = compute_wavenumber_maps(bs, zwn, freq=cfg.freq)
-        ncio.write_wavenumber_maps(maps, bs, zwn, args.wnmaps)
-        print(f"wrote wavenumber maps to {args.wnmaps}")
+        checkpoint_path=args.checkpoint, wnmaps_path=args.wnmaps)
     return 0
 
 

@@ -29,12 +29,15 @@ class RunPaths:
 
 
 def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
-        chunked: bool = False, checkpoint_path: Optional[str] = None
-        ) -> RayTrajectories:
+        chunked: bool = False, checkpoint_path: Optional[str] = None,
+        wnmaps_path: Optional[str] = None) -> RayTrajectories:
     """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89).
 
     mesh: a jax.sharding.Mesh, or True to build one over
     config.mesh_devices local devices (None = all).
+    wnmaps_path: also write the grid-wide wavenumber diagnostics (the
+    reference's standalone WN product, wn.py:21-135) there, reusing the
+    basic state this run already prepared.
     """
     config.validate()
     if mesh is True:
@@ -59,4 +62,14 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         traj = trace_rays(bs, config, mesh=mesh)
     if paths.ncfile:
         ncio.write_trajectories(traj, paths.ncfile, config.zwn_array())
+    if wnmaps_path:
+        import numpy as np
+
+        from rwrt_tpu.diagnostics import compute_wavenumber_maps
+
+        zwn = np.asarray(config.zwn_array())
+        maps = compute_wavenumber_maps(bs, zwn, freq=config.freq)
+        ncio.write_wavenumber_maps(maps, bs, zwn, wnmaps_path)
+        if verbose:
+            print(f"wrote wavenumber maps to {wnmaps_path}")
     return traj

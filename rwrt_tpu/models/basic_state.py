@@ -101,11 +101,13 @@ def _check_uniform_axis(coord: np.ndarray, step: float, name: str,
             "automatically)"
         )
     spacing = np.diff(coord)
-    # Absolute floor of ~4e-7 rad: coordinate variables are often STORED as
-    # float32 in NetCDF files (rounding each value by up to eps32/2*|coord|
-    # ~ 6e-8 rad), which must not reject a genuinely uniform grid. Gaussian
-    # grids deviate by ~1e-3 rad and are still caught.
-    tol = max(1e-5 * step, 4e-7)
+    # Absolute floor: coordinate variables are often STORED as float32
+    # DEGREES in NetCDF files. Near lon=360 deg each value carries rounding
+    # up to ulp(360)/2 ~ 1.5e-5 deg ~ 2.7e-7 rad, so adjacent-spacing
+    # deviation of a genuinely uniform grid can reach ~5.3e-7 rad (plus one
+    # more rounding from the deg->rad conversion). 1.5e-6 rad absorbs that
+    # while Gaussian grids (~1e-3 rad deviation) are still caught.
+    tol = max(1e-5 * step, 1.5e-6)
     dev = float(np.abs(spacing - step).max())
     if dev > tol:
         raise ValueError(

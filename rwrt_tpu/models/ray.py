@@ -173,14 +173,20 @@ def _rhs_core(bg: Background, y: jnp.ndarray, t, with_raw_gv: bool):
     # lane poisons the shared background-field gradient through the
     # gather's scatter-add, and the pipeline stops being differentiable
     # (tests/test_autodiff.py). Live lanes see bit-identical inputs.
+    # NaN lon/lat poison the background sample (every row); NaN kx/ky poison
+    # kap and (ug, vg) (every row). NaN amp poisons ONLY damp/dt = amp*(...)
+    # -- the reference's IEEE propagation keeps rows 0-3 finite and the ray
+    # advancing until the next interval entry freezes it (wr.py:44-82 via
+    # rkf45.py:400-403), so amp must NOT be in the all-row kill set.
     dead = (jnp.isnan(lon) | jnp.isnan(lat) | jnp.isnan(kx)
-            | jnp.isnan(ky) | jnp.isnan(amp))
+            | jnp.isnan(ky))
+    ampn = jnp.isnan(amp)
     bad = err | dead  # lanes whose dy rows are all NaN by construction
     lon_q = jnp.where(dead, 0.0, lon)
     lat_q = jnp.where(dead, 0.0, lat)
     kx_q = jnp.where(bad, 1.0, kx)
     ky_q = jnp.where(bad, 0.0, ky)
-    amp_q = jnp.where(dead, 0.0, amp)
+    amp_q = jnp.where(ampn, 0.0, amp)
 
     # Sample at sanitized positions: dead lanes read grid cell (0, 0); their
     # rows are overwritten below. Live lanes (err included -- their
@@ -220,7 +226,7 @@ def _rhs_core(bg: Background, y: jnp.ndarray, t, with_raw_gv: bool):
     r1n = bad | n_v | n_qx | n_qy
     r2n = bad | fn[interp.M_UX] | fn[interp.M_VX] | fn[interp.M_QXX] | fn[interp.M_QYX]
     r3n = bad | fn[interp.M_UY] | fn[interp.M_VY] | fn[interp.M_QXY] | fn[interp.M_QYY]
-    r4n = (bad | fn[interp.M_UX] | fn[interp.M_UY] | fn[interp.M_VX]
+    r4n = (bad | ampn | fn[interp.M_UX] | fn[interp.M_UY] | fn[interp.M_VX]
            | fn[interp.M_VY] | fn[interp.M_QXX] | fn[interp.M_QXY]
            | fn[interp.M_QYY] | n_v)
 

@@ -115,7 +115,11 @@ def initial_roots_reference_order(fmu, fmv, fmqx, fmqy, freq, zwn):
         if k == 0.0:
             continue
         ps = freq / k * rearth
-        # Highest-first coefficient stack (reference bs.py:1006-1011).
+        # LOWEST-degree-first coefficient stack [c0, c1, c2, c3] with
+        # c3 = fmv the m^3 term (reference bs.py:1006-1011): the trailing-
+        # entry degree reduction below strips leading (highest-degree)
+        # coefficients, and the [::-1] before np.roots flips to the
+        # highest-first order np.roots expects.
         coeff_ = np.stack([
             (k ** 3) * (fmu - ps - fmqy / k ** 2),
             (k ** 2) * fmv + fmqx,

@@ -316,6 +316,40 @@ def pack_corners(fields: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([fields, right, up, right_up], axis=-1)
 
 
+def _packed_cell(w, h, lon0, lat0, dx, dy, lon, lat):
+    """Fractional-index cell decomposition shared by every packed sampler:
+    clamped (x0, y0) cell plus the bilinear offsets (sx, sy)."""
+    lon_w = lon % (2.0 * pi)
+    ix = (lon_w - lon0) / dx
+    iy = (lat - lat0) / dy
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
+    sx = ix - x0.astype(ix.dtype)
+    sy = iy - y0.astype(iy.dtype)
+    return x0, y0, sx, sy
+
+
+def _packed_corner_lerp(flat, row_idx, sx, sy, c):
+    """ONE row gather + the bilinear corner combination -- the single copy
+    of the weight expression and summation order whose bit-identity (to the
+    unpacked 4-gather path, and across the member/time variants) is
+    load-bearing for the golden and ensemble-equality tests.
+
+    ``.at[].get(mode='promise_in_bounds')`` skips the bounds-handling
+    gather path (row indices are built from clamped cell coordinates).
+    """
+    rows = flat.at[row_idx].get(mode="promise_in_bounds")
+    fc = rows[:, 0:c]            # (x0, y0)
+    fd = rows[:, c : 2 * c]      # (x1, y0)
+    fa = rows[:, 2 * c : 3 * c]  # (x0, y1)
+    fb = rows[:, 3 * c : 4 * c]  # (x1, y1)
+    wa = ((1.0 - sx) * sy)[:, None]
+    wb = (sx * sy)[:, None]
+    wc = ((1.0 - sx) * (1.0 - sy))[:, None]
+    wd = (sx * (1.0 - sy))[:, None]
+    return fa * wa + fb * wb + fc * wc + fd * wd
+
+
 def sample_raw_packed(packed, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
     """Bilinear sample from a corner-packed stack: ONE row gather per point.
 
@@ -324,29 +358,9 @@ def sample_raw_packed(packed, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
     """
     w, h, c4 = packed.shape
     c = c4 // 4
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
-    iy = (lat - lat0) / dy
-    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
-    sx = ix - x0.astype(ix.dtype)
-    sy = iy - y0.astype(iy.dtype)
-
-    # .at[].get with promise_in_bounds skips the bounds-handling gather
-    # path (indices are clamped above).
-    rows = packed.reshape(w * h, c4).at[x0 * h + y0].get(
-        mode="promise_in_bounds"
-    )
-    fc = rows[:, 0:c]          # (x0, y0)
-    fd = rows[:, c : 2 * c]    # (x1, y0)
-    fa = rows[:, 2 * c : 3 * c]  # (x0, y1)
-    fb = rows[:, 3 * c : 4 * c]  # (x1, y1)
-
-    wa = ((1.0 - sx) * sy)[:, None]
-    wb = (sx * sy)[:, None]
-    wc = ((1.0 - sx) * (1.0 - sy))[:, None]
-    wd = (sx * (1.0 - sy))[:, None]
-    vals = fa * wa + fb * wb + fc * wc + fd * wd
+    x0, y0, sx, sy = _packed_cell(w, h, lon0, lat0, dx, dy, lon, lat)
+    vals = _packed_corner_lerp(
+        packed.reshape(w * h, c4), x0 * h + y0, sx, sy, c)
     in_range = jnp.abs(lat) <= 0.5 * pi
     return jnp.where(in_range[:, None], vals, jnp.nan)
 
@@ -370,27 +384,10 @@ def sample_raw_packed_member(packed, lon0, lat0, dx, dy, lon, lat, member):
     """
     m, w, h, c4 = packed.shape
     c = c4 // 4
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
-    iy = (lat - lat0) / dy
-    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
-    sx = ix - x0.astype(ix.dtype)
-    sy = iy - y0.astype(iy.dtype)
-
-    rows = packed.reshape(m * w * h, c4).at[
-        member * (w * h) + x0 * h + y0
-    ].get(mode="promise_in_bounds")
-    fc = rows[:, 0:c]
-    fd = rows[:, c : 2 * c]
-    fa = rows[:, 2 * c : 3 * c]
-    fb = rows[:, 3 * c : 4 * c]
-
-    wa = ((1.0 - sx) * sy)[:, None]
-    wb = (sx * sy)[:, None]
-    wc = ((1.0 - sx) * (1.0 - sy))[:, None]
-    wd = (sx * (1.0 - sy))[:, None]
-    vals = fa * wa + fb * wb + fc * wc + fd * wd
+    x0, y0, sx, sy = _packed_cell(w, h, lon0, lat0, dx, dy, lon, lat)
+    vals = _packed_corner_lerp(
+        packed.reshape(m * w * h, c4), member * (w * h) + x0 * h + y0,
+        sx, sy, c)
     in_range = jnp.abs(lat) <= 0.5 * pi
     return jnp.where(in_range[:, None], vals, jnp.nan)
 
@@ -413,28 +410,12 @@ def sample_raw_packed_member_time(packed, lon0, lat0, dx, dy, lon, lat,
     i1 = jnp.clip(i0 + 1, 0, nt - 1)
     w1 = tf - i0.astype(tf.dtype)
 
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
-    iy = (lat - lat0) / dy
-    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
-    sx = ix - x0.astype(ix.dtype)
-    sy = iy - y0.astype(iy.dtype)
-
+    x0, y0, sx, sy = _packed_cell(w, h, lon0, lat0, dx, dy, lon, lat)
     flat = packed.reshape(m * nt * w * h, c4)
     cell = member * (nt * w * h) + x0 * h + y0
 
     def frame(ti):
-        rows = flat.at[ti * (w * h) + cell].get(mode="promise_in_bounds")
-        fc = rows[:, 0:c]
-        fd = rows[:, c : 2 * c]
-        fa = rows[:, 2 * c : 3 * c]
-        fb = rows[:, 3 * c : 4 * c]
-        wa = ((1.0 - sx) * sy)[:, None]
-        wb = (sx * sy)[:, None]
-        wc = ((1.0 - sx) * (1.0 - sy))[:, None]
-        wd = (sx * (1.0 - sy))[:, None]
-        return fa * wa + fb * wb + fc * wc + fd * wd
+        return _packed_corner_lerp(flat, ti * (w * h) + cell, sx, sy, c)
 
     vals = frame(i0) * (1.0 - w1)[:, None] + frame(i1) * w1[:, None]
     in_range = jnp.abs(lat) <= 0.5 * pi
@@ -504,28 +485,12 @@ def sample_raw_packed_time(packed, lon0, lat0, dx, dy, lon, lat, tfrac):
     i1 = jnp.clip(i0 + 1, 0, nt - 1)
     w1 = tf - i0.astype(tf.dtype)
 
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
-    iy = (lat - lat0) / dy
-    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
-    sx = ix - x0.astype(ix.dtype)
-    sy = iy - y0.astype(iy.dtype)
-
+    x0, y0, sx, sy = _packed_cell(w, h, lon0, lat0, dx, dy, lon, lat)
     flat = packed.reshape(nt * w * h, c4)
     cell = x0 * h + y0
 
     def frame(ti):
-        rows = flat.at[ti * (w * h) + cell].get(mode="promise_in_bounds")
-        fc = rows[:, 0:c]
-        fd = rows[:, c : 2 * c]
-        fa = rows[:, 2 * c : 3 * c]
-        fb = rows[:, 3 * c : 4 * c]
-        wa = ((1.0 - sx) * sy)[:, None]
-        wb = (sx * sy)[:, None]
-        wc = ((1.0 - sx) * (1.0 - sy))[:, None]
-        wd = (sx * (1.0 - sy))[:, None]
-        return fa * wa + fb * wb + fc * wc + fd * wd
+        return _packed_corner_lerp(flat, ti * (w * h) + cell, sx, sy, c)
 
     vals = frame(i0) * (1.0 - w1)[:, None] + frame(i1) * w1[:, None]
     in_range = jnp.abs(lat) <= 0.5 * pi

@@ -227,6 +227,70 @@ class _GroupCarry(NamedTuple):
     lane_att: jnp.ndarray  # (R,) int32: per-lane step attempts in this group
 
 
+def group_entry_state(y, bounds):
+    """NaN-entry prefill for the EXACT grouped integrator -- the ONE copy
+    shared by ``integrate_group(state0=None)`` and the peel scheduler's
+    first leg (tracer._group_init_state); the peel paths' bitwise equality
+    with the unpeeled chunk depends on both using identical entry state.
+
+    Rays with any NaN component at entry (e.g. rootless slots: finite
+    position, NaN wavenumber/amp from initialization) never advance; the
+    barrier path saves their UNCHANGED state at every bound (the interval
+    entry marks them accepted with y untouched, and the kill masks cannot
+    trigger on an unchanged state). Pre-fill all their slots and finish
+    them outright. Their (ug, vg) rows are NaN: any NaN state component
+    makes group_velocity NaN through its inputs (position -> fields, or
+    the NaN wavenumber/kappa) for every state the initializer or the kill
+    masks can produce.
+
+    Returns (hist0 (G, 7, R), rejected0, new_step0, lane_att0, idx0,
+    t_shift) where t_shift is bounds[-1] for finished-at-entry lanes and
+    NaN elsewhere -- apply as ``t = where(isnan(t_shift), t, t_shift)``.
+    """
+    g = bounds.shape[0]
+    r = y.shape[1]
+    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+    idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
+    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)
+    hist0 = jnp.where(
+        nan_mean[None, None, :],
+        jnp.concatenate(
+            [jnp.broadcast_to(y[None], (g,) + y.shape),
+             jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
+        jnp.nan,
+    ).astype(y.dtype)
+    # zeros_like/ones_like over a lane of y (not fresh constants) so the
+    # flags inherit the carry's sharding/varying-axis type under shard_map.
+    return (hist0, jnp.zeros_like(y[0], dtype=bool),
+            jnp.ones_like(y[0], dtype=bool),
+            jnp.zeros_like(y[0], dtype=jnp.int32), idx0, t_shift)
+
+
+def dense_entry_state(y, bounds):
+    """NaN-entry prefill for the DENSE grouped integrator -- shared by
+    ``integrate_group_dense(state0=None)`` and tracer._dense_init_state
+    (same bitwise-equality contract as ``group_entry_state``).
+
+    Frozen/dead lanes keep their entry state at every bound (rootless
+    lanes: finite position, NaN wavenumber -- reference rkf45.py:400-403);
+    live lanes' slots start NaN and are filled on emission. Returns
+    (hist0 (G, 5, R), rejected0, new_step0, lane_att0, t_shift).
+    """
+    g = bounds.shape[0]
+    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
+    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)
+    hist0 = jnp.where(
+        nan_mean[None, None, :],
+        jnp.broadcast_to(y[None], (g,) + y.shape),
+        jnp.nan,
+    ).astype(y.dtype)
+    # zeros_like/ones_like over a lane of y (not fresh constants) so the
+    # flags inherit the carry's sharding/varying-axis type under shard_map.
+    return (hist0, jnp.zeros_like(y[0], dtype=bool),
+            jnp.ones_like(y[0], dtype=bool),
+            jnp.zeros_like(y[0], dtype=jnp.int32), t_shift)
+
+
 def integrate_group(
     rhs_fn, rhs_gv_fn, y, t, h, f, bounds, prev_lon, prev_lat, cut_off,
     rtol, atol, min_step, max_iters=1_000_000, state0=None,
@@ -280,28 +344,9 @@ def integrate_group(
     g = bounds.shape[0]
     r = t.shape[0]
     if state0 is None:
-        nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-        # Rays with any NaN component at entry (e.g. rootless slots: finite
-        # position, NaN wavenumber/amp from initialization) never advance;
-        # the barrier path saves their UNCHANGED state at every bound (the
-        # interval entry marks them accepted with y untouched, and the kill
-        # masks cannot trigger on an unchanged state). Pre-fill all their
-        # slots and finish them outright. Their (ug, vg) rows are NaN: any
-        # NaN state component makes group_velocity NaN through its inputs
-        # (position -> fields, or the NaN wavenumber/kappa) for every state
-        # the initializer or the kill masks can produce.
-        idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
-        t = jnp.where(nan_mean, bounds[-1], t)
-        hist0 = jnp.where(
-            nan_mean[None, None, :],
-            jnp.concatenate(
-                [jnp.broadcast_to(y[None], (g,) + y.shape),
-                 jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
-            jnp.nan,
-        ).astype(y.dtype)
-        rejected0 = jnp.zeros_like(t, dtype=bool)
-        new_step0 = jnp.ones_like(t, dtype=bool)
-        lane_att0 = jnp.zeros_like(t, dtype=jnp.int32)
+        (hist0, rejected0, new_step0, lane_att0, idx0,
+         t_shift) = group_entry_state(y, bounds)
+        t = jnp.where(jnp.isnan(t_shift), t, t_shift)
     else:
         hist0, rejected0, new_step0, lane_att0, idx0 = state0
 
@@ -467,20 +512,9 @@ def integrate_group_dense(
     r = t.shape[0]
     t_end = bounds[-1]
     if state0 is None:
-        nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-        t0 = jnp.where(nan_mean, t_end, t)
-        # Frozen/dead lanes keep their entry state at every bound (rootless
-        # lanes: finite position, NaN wavenumber -- reference
-        # rkf45.py:400-403); live lanes' slots start NaN and are filled on
-        # emission.
-        hist0 = jnp.where(
-            nan_mean[None, None, :],
-            jnp.broadcast_to(y[None], (g,) + y.shape),
-            jnp.nan,
-        ).astype(y.dtype)
-        rejected0 = jnp.zeros_like(t, dtype=bool)
-        new_step0 = jnp.ones_like(t, dtype=bool)
-        lane_att0 = jnp.zeros_like(t, dtype=jnp.int32)
+        (hist0, rejected0, new_step0, lane_att0,
+         t_shift) = dense_entry_state(y, bounds)
+        t0 = jnp.where(jnp.isnan(t_shift), t, t_shift)
     else:
         hist0, rejected0, new_step0, lane_att0 = state0
         t0 = t

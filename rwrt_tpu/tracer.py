@@ -350,18 +350,10 @@ def _dev_i32(v: int):
 
 @jax.jit
 def _dense_init_state(y, bounds):
-    """Entry state for a suspendable dense chunk (see integrate_group_dense
-    state0): pre-filled history, fresh controller flags, zero attempts."""
-    g = bounds.shape[0]
-    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-    hist0 = jnp.where(
-        nan_mean[None, None, :],
-        jnp.broadcast_to(y[None], (g,) + y.shape),
-        jnp.nan,
-    ).astype(y.dtype)
-    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)  # applied by caller
-    return (hist0, jnp.zeros(y.shape[1], bool), jnp.ones(y.shape[1], bool),
-            jnp.zeros(y.shape[1], jnp.int32), t_shift)
+    """Entry state for a suspendable dense chunk: the ONE shared prefill
+    (solvers/rk45.py dense_entry_state), jitted for the peel orchestrator.
+    t_shift is applied by the caller."""
+    return rk45_mod.dense_entry_state(y, bounds)
 
 
 @jax.jit
@@ -471,12 +463,12 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
         # a single multi-second program when a straggler is pinned near the
         # step floor), while a deep tail doesn't pay one host fetch per
         # caps[-1] trips (see _rk45_group_chunk_peeled).
+        ceil = (max(8192, caps[-1]) if cap_ceiling is None
+                else cap_ceiling)
         if leg < len(caps):
-            cap = caps[leg]
+            cap = min(caps[leg], ceil)  # ceiling bounds EVERY program
         else:
-            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1),
-                      max(8192, caps[-1]) if cap_ceiling is None
-                      else cap_ceiling)
+            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1), ceil)
         cap_v = _dev_i32(int(cap))
         if w is None:
             (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
@@ -513,23 +505,10 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
 
 @jax.jit
 def _group_init_state(y, bounds):
-    """Entry state for a suspendable EXACT chunk (the state0 prefill of
-    solvers/rk45.py integrate_group): NaN-entry lanes finished outright with
-    their unchanged state in every history slot, fresh controller flags."""
-    g = bounds.shape[0]
-    r = y.shape[1]
-    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-    idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
-    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)  # applied by caller
-    hist0 = jnp.where(
-        nan_mean[None, None, :],
-        jnp.concatenate(
-            [jnp.broadcast_to(y[None], (g,) + y.shape),
-             jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
-        jnp.nan,
-    ).astype(y.dtype)
-    return (hist0, jnp.zeros(r, bool), jnp.ones(r, bool),
-            jnp.zeros(r, jnp.int32), idx0, t_shift)
+    """Entry state for a suspendable EXACT chunk: the ONE shared prefill
+    (solvers/rk45.py group_entry_state), jitted for the peel orchestrator.
+    t_shift is applied by the caller."""
+    return rk45_mod.group_entry_state(y, bounds)
 
 
 @jax.jit
@@ -658,7 +637,7 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
         # a ceiling (see the dense peel): bounded programs, few host
         # fetches even for a step-floor-pinned tail.
         if leg < len(caps):
-            cap = caps[leg]
+            cap = min(caps[leg], cap_ceiling)  # ceiling bounds EVERY program
         else:
             cap = min(caps[-1] * 4 ** (leg - len(caps) + 1), cap_ceiling)
         cap_v = _dev_i32(int(cap))

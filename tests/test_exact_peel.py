@@ -108,3 +108,38 @@ def test_exact_peel_equals_fused(bs):
             np.asarray(getattr(fused, k)), np.asarray(getattr(chunked, k)),
             rtol=0, atol=0, equal_nan=True, err_msg=k,
         )
+
+
+def test_exact_peel_cap_ceiling_bounds_every_leg(bs):
+    """cap_ceiling must clamp the LISTED caps too, not just the escalation
+    legs: a ceiling below caps[0] still yields bitwise-equal results, just
+    through more (smaller) leg programs. Guards the bounded-program
+    invariant the remote-worker watchdog relies on."""
+    bg = tracer.make_background(bs, 0.0)
+    slon, slat = tracer.source_matrix(0.0, 5.0, 36.0, 8.0, 5, 4)
+    zwn = jnp.asarray([2.0, 4.0, 6.0])
+    y0, _, _ = tracer.initialize(bg, jnp.asarray(slon), jnp.asarray(slat),
+                                 zwn)
+    r = y0.shape[1]
+    dt = 7200.0
+    rtol = jnp.asarray(1e-6)
+    atol = jnp.asarray(1e-6)
+    min_step = jnp.asarray(7.2)
+    cut_off = jnp.asarray(0.2)
+    h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
+    t0 = jnp.zeros(r, jnp.float64)
+    f0, _ = ray_mod.rhs(bg, y0)
+    bounds = jnp.arange(1, 17, dtype=jnp.float64) * dt
+
+    carry = (y0, t0, h0, f0, y0[0], y0[1])
+    _, (hu, uu, vu, _, _, _) = tracer._rk45_group_chunk(
+        bg, *carry, bounds, cut_off, rtol, atol, min_step)
+    # caps=(64, 256) but ceiling=8: every leg (including leg 0) runs at
+    # most 8 trips per program.
+    _, (hp, up, vp, _, _, _) = tracer._rk45_group_chunk_peeled(
+        bg, *carry, bounds, cut_off, rtol, atol, min_step,
+        caps=(64, 256), min_width=32, cap_ceiling=8)
+    for a, b, name in [(hu, hp, "hist"), (uu, up, "ug"), (vu, vp, "vg")]:
+        a, b = np.asarray(a), np.asarray(b)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), name

@@ -312,3 +312,39 @@ def test_termination_analyze_rootless_not_survivors(jet_field):
     amp0 = np.asarray(traj.amp[0])
     assert rep.counts["no_root"] == int((~np.isfinite(amp0)).sum())
     assert sum(rep.counts.values()) == amp0.size
+
+
+def test_rhs_nan_amp_poisons_only_amp_row(jet_field):
+    """IEEE propagation parity for a NaN amplitude (reference core_diffun,
+    wr.py:44-82): damp/dt = amp*(...) is the ONLY derivative that involves
+    amp, so a NaN-amp / finite-position lane keeps finite rows 0-3 and
+    keeps advancing until the next interval entry freezes it
+    (rkf45.py:400-403) -- it must NOT be all-row killed. NaN wavenumbers,
+    by contrast, poison every row (through kappa and the group velocity)."""
+    import jax.numpy as jnp
+
+    from rwrt_tpu import tracer
+    from rwrt_tpu.models import ray as ray_mod
+
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    bg = tracer.make_background(bs, 0.0)
+
+    lon0 = jnp.asarray([0.5, 0.5, 0.5])
+    lat0 = jnp.asarray([0.4, 0.4, 0.4])
+    kx = jnp.asarray([3.0, 3.0, 3.0])
+    ky = jnp.asarray([2.0, 2.0, jnp.nan])
+    amp = jnp.asarray([1.0, jnp.nan, 1.0])
+    y = jnp.stack([lon0, lat0, kx, ky, amp])
+
+    dy, err = ray_mod.rhs(bg, y)
+    dy = np.asarray(dy)
+    # Lane 0 (all finite): every row finite.
+    assert np.isfinite(dy[:, 0]).all()
+    # Lane 1 (NaN amp only): rows 0-3 finite AND equal to the healthy
+    # lane's (amp feeds no other derivative); row 4 NaN.
+    np.testing.assert_array_equal(dy[:4, 1], dy[:4, 0])
+    assert np.isnan(dy[4, 1])
+    # Lane 2 (NaN ky): every row NaN.
+    assert np.isnan(dy[:, 2]).all()
+    assert not np.asarray(err)[1]  # NaN amp is not an err-mask condition
