@@ -72,7 +72,7 @@ def main():
             out_ref[i, :] = table_ref[idx_ref[i], :]
             return 0
 
-        jax.lax.fori_loop(0, BLOCK, body, 0, unroll=8)
+        jax.lax.fori_loop(0, BLOCK, body, 0)  # Mosaic: unroll=1 only
 
     def pallas_gather(t, i):
         return pl.pallas_call(
