@@ -138,4 +138,18 @@ class RunConfig:
             raise ValueError("difficulty_buckets must be >= 1")
         if self.bound_mode not in ("exact", "dense"):
             raise ValueError(f"unknown bound_mode {self.bound_mode!r}")
+        if self.bound_mode == "dense":
+            # Dense output exists only on the grouped adaptive path; every
+            # other route clamps at each bound (exact semantics). Reject the
+            # combination instead of silently running exact mode at exact-
+            # mode cost while the user expects dense.
+            if self.integrator != "rk45":
+                raise ValueError(
+                    "bound_mode='dense' requires integrator='rk45'")
+            if self.interval_batch <= 1 or self.nt <= 2:
+                raise ValueError(
+                    "bound_mode='dense' runs on the grouped adaptive path, "
+                    "which needs interval_batch > 1 and nt > 2 (got "
+                    f"interval_batch={self.interval_batch}, nt={self.nt}); "
+                    "use bound_mode='exact' for these settings")
         return self

@@ -103,7 +103,11 @@ def _is_dh_grid(lat: np.ndarray) -> bool:
     if n % 2:
         return False
     want = np.pi / 2 - np.pi * np.arange(n)[::-1] / n  # ascending
-    return bool(np.allclose(lat, want, atol=1e-9))
+    # Absorb float32-stored coordinates (~1.2e-7 rad rounding near pi/2 --
+    # same policy as basic_state._check_uniform_axis). The filter matrices
+    # are built from the ideal DH angles, so accepting rounded coords is
+    # exact; the nearest non-DH uniform grid differs by O(pi/n^2) >> 1e-6.
+    return bool(np.allclose(lat, want, atol=1e-6))
 
 
 @functools.lru_cache(maxsize=8)

@@ -24,7 +24,7 @@ Two levels:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import numpy as np
 
@@ -40,39 +40,54 @@ class TerminationReport(NamedTuple):
     counts: Dict[str, int]
 
 
-def death_steps(traj: RayTrajectories):
-    """(death_step, born): vectorized on host.
+def death_steps(traj: RayTrajectories, block: int = 64):
+    """(death_step, born, alive_per_step): host accounting in time blocks.
 
     A ray is BORN iff its initial amplitude is finite -- rootless lanes keep
     their (finite) seed position in the history forever because the
     integrator freezes NaN-state lanes without touching them, so finiteness
     of lon would mislabel them as surviving rays.
+
+    The scan runs ``block`` output steps at a time so memmap-backed
+    trajectories (``trace_rays_chunked(stream_dir=...)``, whose point is
+    host-RAM safety on multi-GB histories) never materialize a full-history
+    temporary; in-memory arrays pay nothing for the loop.
     """
-    amp = np.asarray(traj.amp)
+    amp = traj.amp if isinstance(traj.amp, np.ndarray) else np.asarray(traj.amp)
     nt = amp.shape[0]
-    born = np.isfinite(amp[0])
-    dead = ~np.isfinite(amp)
-    first_dead = np.where(dead.any(axis=0), dead.argmax(axis=0), nt)
-    return np.where(born, first_dead, -1), born
+    shape = amp.shape[1:]
+    born = np.isfinite(np.asarray(amp[0]))
+    first_dead = np.full(shape, nt, dtype=np.int64)
+    undead = np.ones(shape, dtype=bool)
+    alive_per_step = np.empty(nt, dtype=np.int64)
+    for t0 in range(0, nt, block):
+        fin = np.isfinite(np.asarray(amp[t0:t0 + block]))
+        alive_per_step[t0:t0 + fin.shape[0]] = fin.sum(
+            axis=tuple(range(1, fin.ndim)))
+        dead = ~fin
+        newly = undead & dead.any(axis=0)
+        first_dead[newly] = t0 + dead.argmax(axis=0)[newly]
+        undead &= ~newly
+    return np.where(born, first_dead, -1), born, alive_per_step
 
 
-def analyze(traj: RayTrajectories,
-            cut_off: Optional[float] = None) -> TerminationReport:
+def analyze(traj: RayTrajectories) -> TerminationReport:
     """Host-side accounting; coarse causes (see ``classify`` for exact)."""
-    lat = np.asarray(traj.lat)
+    lat = traj.lat if isinstance(traj.lat, np.ndarray) else np.asarray(traj.lat)
     nt = lat.shape[0]
-    death_step, born = death_steps(traj)
-    alive = np.isfinite(np.asarray(traj.amp))
+    death_step, born, alive_counts = death_steps(traj)
 
     n_born = max(int(born.sum()), 1)
-    alive_frac = alive.sum(axis=(1, 2, 3)) / n_born
+    alive_frac = alive_counts / n_born
 
     died = (death_step >= 1) & (death_step < nt)
     # Last live latitude; rays with |lat| near the polar cap at their final
-    # saved point almost certainly hit a latitude kill next step.
+    # saved point almost certainly hit a latitude kill next step. The fancy
+    # gather touches one element per ray, so memmaps page in only the rows
+    # that contain deaths.
     d = np.clip(death_step, 1, nt - 1)
     ii = np.indices(death_step.shape)
-    la_prev = lat[d - 1, ii[0], ii[1], ii[2]]
+    la_prev = np.asarray(lat[d - 1, ii[0], ii[1], ii[2]])
     near_pole = died & np.isfinite(la_prev) & (np.abs(la_prev) > np.radians(80.0))
     counts = {
         "no_root": int((~born).sum()),
@@ -110,7 +125,7 @@ def classify(traj: RayTrajectories, bs, config,
     from rwrt_tpu.solvers import rk45 as rk45_mod
     from rwrt_tpu import tracer as tracer_mod
 
-    base = analyze(traj, config.cut_off_rad)
+    base = analyze(traj)
     death_step = base.death_step
     nt = np.asarray(traj.lon).shape[0]
     died = (death_step >= 1) & (death_step < nt)

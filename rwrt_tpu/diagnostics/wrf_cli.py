@@ -84,13 +84,17 @@ def write_flux(wrf, path: str, stats=None) -> str:
         if stats is not None:
             fes = data["first_entry_step"]
             nroot, nsource, nzwn = fes.shape
+            np_ = data["source_lon"].shape[0]
             for dim, n in (("root", nroot), ("source", nsource),
-                           ("zwn", nzwn), ("passing", max(
-                               data["source_lon"].shape[0], 1))):
+                           ("zwn", nzwn),
+                           # size 0 must be an unlimited dim (fixed netCDF
+                           # dims cannot be empty); readers then see
+                           # genuinely empty arrays, matching the .npz
+                           # branch, instead of one phantom fill-value row.
+                           ("passing", np_ or None)):
                 ds.createDimension(dim, n)
             ds.createVariable("first_entry_step", "i4",
                               ("root", "source", "zwn"))[:] = fes
-            np_ = data["source_lon"].shape[0]
             v_lon = ds.createVariable("source_lon", "f8", ("passing",))
             v_lat = ds.createVariable("source_lat", "f8", ("passing",))
             if np_:

@@ -30,7 +30,12 @@ from rwrt_tpu.tracer import RayTrajectories
 try:  # pragma: no cover - environment dependent
     import netCDF4 as _nc
 
-    HAVE_NETCDF = True
+    # A module without __file__ is an in-memory stand-in (the test suite's
+    # reference shim installs one so the reference can import); only a real
+    # installation can do file IO.
+    HAVE_NETCDF = getattr(_nc, "__file__", None) is not None
+    if not HAVE_NETCDF:
+        _nc = None
 except ImportError:  # pragma: no cover
     _nc = None
     HAVE_NETCDF = False

@@ -409,8 +409,18 @@ def trace_rays_chunked(
         hist["ug"][step : step + n, lane_to_ray] = np.asarray(ugs)
         hist["vg"][step : step + n, lane_to_ray] = np.asarray(vgs)
         alive_per_step = np.isfinite(ys[:, 4]).sum(axis=1)
-        if n_born > 0 and alive_per_step[-1] == 0:
-            all_dead_at = step + int(np.argmax(alive_per_step == 0))
+        # Early exit keys on POSITION NaN, not amplitude: a born lane whose
+        # amp overflowed to NaN while its position stayed finite (the
+        # amp-row-only IEEE propagation of the RHS) is frozen at a FINITE
+        # state that the uninterrupted run would keep emitting at every
+        # remaining bound -- the NaN tail prefill would misrepresent it, so
+        # such lanes block the exit instead (rare; costs nothing).
+        born_lane = np.zeros(hist_w, dtype=bool)
+        born_lane[:n_rays] = np.isfinite(np.asarray(y0_full[4]))
+        born_lane = born_lane[lane_to_ray]
+        fully_dead = (~np.isfinite(ys[:, 0]) | ~born_lane[None, :]).all(axis=1)
+        if n_born > 0 and fully_dead[-1]:
+            all_dead_at = step + int(np.argmax(fully_dead))
         step += n
         if progress:
             progress.update(
@@ -472,7 +482,7 @@ def trace_rays_chunked(
     if verbose:
         from rwrt_tpu.diagnostics import termination
 
-        rep = termination.analyze(traj, config.cut_off_rad)
+        rep = termination.analyze(traj)
         print("termination summary: "
               + "  ".join(f"{k}={v}" for k, v in rep.counts.items()))
     return traj

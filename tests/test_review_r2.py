@@ -1,0 +1,168 @@
+"""Round-2 self-review fixes: dense-mode config validation, float32 DH
+grids, blockwise (memmap-safe) termination accounting, empty-region WRF
+output parity."""
+
+import numpy as np
+import pytest
+
+import rwrt_tpu as rt
+from rwrt_tpu.config import RunConfig
+from rwrt_tpu.diagnostics import spectral
+from rwrt_tpu.diagnostics.termination import analyze, death_steps
+from rwrt_tpu.tracer import RayTrajectories
+
+HOUR, DAY = 3600.0, 86400.0
+
+CFG = dict(
+    zwn=(2.0, 4.0), sw_lon=0.0, sw_lat=10.0, dlon=90.0, dlat=10.0,
+    nnx=2, nny=2, tstep=2 * HOUR, ttotal=4 * DAY, cal_dtype="float64",
+)
+
+
+# ---------------------------------------------------------------------------
+# bound_mode='dense' must never silently fall back to the exact clamped path
+# ---------------------------------------------------------------------------
+
+def test_dense_requires_rk45():
+    cfg = RunConfig(**CFG, integrator="rk4", bound_mode="dense")
+    with pytest.raises(ValueError, match="rk45"):
+        cfg.validate()
+
+
+def test_dense_requires_interval_batching():
+    cfg = RunConfig(**CFG, integrator="rk45", bound_mode="dense",
+                    interval_batch=1)
+    with pytest.raises(ValueError, match="interval_batch"):
+        cfg.validate()
+
+
+def test_dense_requires_multiple_intervals():
+    cfg = RunConfig(**{**CFG, "ttotal": 2 * HOUR}, integrator="rk45",
+                    bound_mode="dense")
+    with pytest.raises(ValueError, match="nt"):
+        cfg.validate()
+
+
+def test_dense_default_config_still_valid():
+    RunConfig(**CFG, integrator="rk45", bound_mode="dense").validate()
+
+
+# ---------------------------------------------------------------------------
+# DH spectral mode accepts float32-stored coordinates
+# ---------------------------------------------------------------------------
+
+def _dh_lat(n):
+    return np.pi / 2 - np.pi * np.arange(n)[::-1] / n
+
+
+def test_dh_mode_accepts_float32_latitudes():
+    """A genuine DH grid whose latitudes passed through float32 storage
+    (~1.2e-7 rad rounding near the pole) must not be rejected -- the same
+    coordinate-rounding policy basic_state applies to uniform grids."""
+    n = 32
+    rng = np.random.default_rng(0)
+    field = rng.standard_normal((8, n))
+    lat64 = _dh_lat(n)
+    lat32 = lat64.astype(np.float32).astype(np.float64)
+    assert np.max(np.abs(lat32 - lat64)) > 1e-9  # would fail the old atol
+    got32 = spectral.spectral_filter(field, lat32, lmax=10, mode="dh")
+    got64 = spectral.spectral_filter(field, lat64, lmax=10, mode="dh")
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(got64),
+                               rtol=0, atol=1e-12)
+
+
+def test_dh_mode_still_rejects_regular_grid():
+    """An equally-spaced pole-to-pole grid (spacing pi/(n-1), not the DH
+    pi/n) stays rejected: the widened tolerance must not blur grid types."""
+    n = 32
+    lat = np.linspace(-np.pi / 2, np.pi / 2, n)
+    with pytest.raises(ValueError, match="Driscoll"):
+        spectral.spectral_filter(np.zeros((8, n)), lat, lmax=10, mode="dh")
+
+
+# ---------------------------------------------------------------------------
+# Blockwise death accounting: identical to the dense computation, memmap-safe
+# ---------------------------------------------------------------------------
+
+def _random_traj(rng, nt=23, shape=(3, 2, 2)):
+    amp = rng.standard_normal((nt,) + shape)
+    # rootless lanes: NaN from t=0
+    rootless = rng.random(shape) < 0.3
+    amp[:, rootless] = np.nan
+    # born lanes that die at a random step
+    death = rng.integers(1, nt + 5, shape)  # > nt means survives
+    tgrid = np.arange(nt).reshape(-1, 1, 1, 1)
+    amp[(tgrid >= death.reshape((1,) + shape)) & ~rootless[None]] = np.nan
+    lat = rng.uniform(-np.pi / 2, np.pi / 2, (nt,) + shape)
+    z = np.zeros_like(amp)
+    return RayTrajectories(lon=z, lat=lat, kx=z, ky=z, amp=amp,
+                           ug=z, vg=z), rootless, death
+
+
+def test_death_steps_blockwise_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    traj, rootless, death = _random_traj(rng)
+    nt = np.asarray(traj.amp).shape[0]
+    for block in (1, 3, 64):
+        ds, born, alive = death_steps(traj, block=block)
+        np.testing.assert_array_equal(born, ~rootless)
+        want = np.where(rootless, -1, np.minimum(death, nt))
+        np.testing.assert_array_equal(ds, want)
+        np.testing.assert_array_equal(
+            alive, np.isfinite(np.asarray(traj.amp)).sum(axis=(1, 2, 3)))
+
+
+def test_analyze_on_memmap_traj(tmp_path):
+    """analyze() over memmap-backed history (the stream_dir layout) equals
+    the in-memory result without materializing full-history temporaries."""
+    rng = np.random.default_rng(11)
+    traj, _, _ = _random_traj(rng)
+    mm = {}
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        a = np.asarray(getattr(traj, k))
+        m = np.lib.format.open_memmap(
+            str(tmp_path / f"{k}.npy"), mode="w+", dtype=a.dtype,
+            shape=a.shape)
+        m[:] = a
+        m.flush()
+        mm[k] = np.load(str(tmp_path / f"{k}.npy"), mmap_mode="r")
+    rep_mm = analyze(RayTrajectories(**mm))
+    rep = analyze(traj)
+    np.testing.assert_array_equal(rep_mm.death_step, rep.death_step)
+    np.testing.assert_array_equal(rep_mm.alive_frac, rep.alive_frac)
+    assert rep_mm.counts == rep.counts
+
+
+# ---------------------------------------------------------------------------
+# WRF writer: empty region -> genuinely empty passing arrays (nc branch)
+# ---------------------------------------------------------------------------
+
+def test_wrf_netcdf_empty_region(tmp_path):
+    nc = pytest.importorskip("netCDF4")
+    if getattr(nc, "__file__", None) is None:
+        pytest.skip("netCDF4 in sys.modules is the refshim stub, not a "
+                    "real installation")
+    from rwrt_tpu.diagnostics import flux as flux_mod
+    from rwrt_tpu.diagnostics.wrf_cli import write_flux
+
+    u, v, lat, lon = _jet()
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    cfg = RunConfig(**{**CFG, "ttotal": 1 * DAY}, integrator="rk4")
+    traj = rt.trace_rays(bs, cfg)
+    wrf = flux_mod.wave_ray_flux(traj)
+    stats = flux_mod.region_statistics(traj, (0.0, 0.1), (89.0, 89.5),
+                                       cfg.tstep)  # no ray reaches this box
+    assert stats.n_passing == 0
+    path = write_flux(wrf, str(tmp_path / "w.nc"), stats)
+    with nc.Dataset(path) as ds:
+        assert ds["source_lon"].shape == (0,)
+        assert ds["source_lat"].shape == (0,)
+
+
+def _jet():
+    nlat, nlon = 37, 72
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon = np.arange(nlon) * 2 * np.pi / nlon
+    u = 20 * np.cos(lat)[None, :] ** 2 + 0 * lon[:, None]
+    v = 2 * np.sin(lon)[:, None] * np.cos(lat)[None, :]
+    return u, v, lat, lon

@@ -210,7 +210,7 @@ def test_termination_classify_exact(jet_field):
                     integrator="rk45")
     traj = rt.trace_rays(bs, cfg)
     rep = classify(traj, bs, cfg)
-    base = analyze(traj, cfg.cut_off_rad)
+    base = analyze(traj)
     died = int(((base.death_step >= 1)
                 & (base.death_step < cfg.nt)).sum())
     assert died > 0
