@@ -7,6 +7,26 @@ the float64 reference).
 
 import os
 
+# Defensive headroom: the default 8 MiB stack is marginal for XLA:CPU's
+# compilation of the largest programs here (the sharded chunked adaptive
+# runner compiles a deep shard_map/while_loop/scan nest). The hard limit is
+# unlimited in this environment, so raise the soft limit; the main-thread
+# stack grows on demand up to the soft limit at fault time. (This alone did
+# not cure the full-suite compile segfault investigated in round 2 -- see
+# the module-isolation fixture below -- but deep-recursion headroom is
+# cheap and removes one failure mode; the actual cure is the
+# clear_caches fixture at the top of tests/test_shardmap.py.)
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except (ImportError, ValueError, OSError):  # pragma: no cover
+    pass
+
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel
 # AND its sitecustomize imports jax at interpreter start, overriding the env
 # var via jax.config — so the config must be re-overridden after import.

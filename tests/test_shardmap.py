@@ -25,6 +25,23 @@ COLLECTIVE_OPS = ("all-reduce", "all-gather", "all-to-all",
                   "collective-permute", "reduce-scatter")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """Drop accumulated compiled executables before this module.
+
+    The sharded chunked-resume program (test_checkpoint_resume_under_mesh)
+    is the largest compile in the suite, and XLA:CPU deterministically
+    segfaults inside backend_compile when that compile runs on top of the
+    ~115 earlier tests' accumulated in-process executables -- while the
+    very same test passes in every smaller subset ordering that was tried
+    (an upstream compiler-state issue, not a framework bug; full diagnosis
+    in docs/STATUS.md round-2 notes). Clearing JAX's caches first releases
+    the accumulated executables and removes the trigger; everything this
+    module needs is recompiled fresh."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def bs(jet_field):
     u, v, lat, lon = jet_field
