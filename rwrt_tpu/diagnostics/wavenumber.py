@@ -111,6 +111,24 @@ def fill_nan_neighborhood_mean(arr: jnp.ndarray, size: int = 3) -> jnp.ndarray:
     return jnp.where(mask, fill, arr)
 
 
+def postprocess_maps(maps: WavenumberMaps, size: int = 3) -> WavenumberMaps:
+    """NaN-fill the map product by neighborhood means (reference
+    WN.postprocess, wn.py:110-114: fills ug, vg, mwn; rootnum untouched).
+
+    Like the reference, this is NOT applied inside compute_wavenumber_maps
+    (the reference keeps postprocess out of the main flow for Fortran
+    parity); callers opt in. Windows with zero valid neighbors stay NaN
+    (the reference emits float-noise inf there -- see
+    tests/test_diagnostics.py::test_fill_nan_matches_reference_fast_fill_nan).
+    """
+    return WavenumberMaps(
+        mwn=fill_nan_neighborhood_mean(maps.mwn, size),
+        rootnum=maps.rootnum,
+        ug=fill_nan_neighborhood_mean(maps.ug, size),
+        vg=fill_nan_neighborhood_mean(maps.vg, size),
+    )
+
+
 def turning_critical_masks(bs: BasicState, zwn) -> jnp.ndarray:
     """Turning/critical-latitude masks per zonal wavenumber.
 
