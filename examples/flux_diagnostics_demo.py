@@ -6,6 +6,8 @@ grid, restricted to rays that reach a target region.
 Run: PYTHONPATH=. python examples/flux_diagnostics_demo.py
 """
 
+import os
+
 import numpy as np
 
 import rwrt_tpu as rt
@@ -18,6 +20,8 @@ from rwrt_tpu.diagnostics import (
 from rwrt_tpu.diagnostics.termination import analyze
 
 HOUR, DAY = 3600.0, 86400.0
+# RWRT_SMOKE=1 shrinks the run so CI can exercise this script end to end.
+SMOKE = os.environ.get("RWRT_SMOKE") == "1"
 
 
 def jet_background(nlon=144, nlat=73):
@@ -33,13 +37,14 @@ def jet_background(nlon=144, nlat=73):
 
 
 def main():
-    u, v, lat, lon = jet_background()
+    u, v, lat, lon = jet_background(*((72, 37) if SMOKE else (144, 73)))
     bs = rt.prepare(u, v, lat, lon, cal_dtype="float32")
 
     cfg = RunConfig(
-        zwn=(1.0, 2.0, 3.0, 4.0, 5.0),
-        sw_lon=0.0, sw_lat=10.0, dlon=20.0, dlat=5.0, nnx=18, nny=7,
-        tstep=2 * HOUR, ttotal=20 * DAY, integrator="rk45",
+        zwn=(3.0, 4.0) if SMOKE else (1.0, 2.0, 3.0, 4.0, 5.0),
+        sw_lon=0.0, sw_lat=10.0, dlon=20.0, dlat=5.0,
+        nnx=6 if SMOKE else 18, nny=3 if SMOKE else 7,
+        tstep=2 * HOUR, ttotal=(3 if SMOKE else 20) * DAY, integrator="rk45",
     )
     traj = rt.trace_rays(bs, cfg)
 

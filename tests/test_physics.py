@@ -81,6 +81,46 @@ def test_stationary_wavenumber_on_superrotation(superrotation_bs):
     )
 
 
+def test_turning_latitude_matches_theory(superrotation_bs):
+    """A stationary ray with zonal wavenumber k turns where Ks(lat) = k
+    (Hoskins & Karoly 1981, section 5). For u = U0 cos(lat) super-rotation
+    Ks = Ks(0) cos(lat), so the turning latitude is arccos(k / Ks(0)):
+    the ray's poleward excursion must peak there and never pass it."""
+    from rwrt_tpu.constants import omega, rearth
+
+    u0, k = 30.0, 4.0
+    ks0 = rearth * np.sqrt(2.0 * (omega + u0 / rearth) / (rearth * u0))
+    lat_turn = np.degrees(np.arccos(k / ks0))
+
+    cfg = RunConfig(
+        zwn=(k,), sw_lon=0.0, sw_lat=10.0, dlon=1.0, dlat=1.0, nnx=1, nny=1,
+        tstep=2 * HOUR, ttotal=30 * DAY, integrator="rk45",
+        cal_dtype="float64",
+    )
+    traj = rt.trace_rays(superrotation_bs, cfg)
+    lat = np.degrees(np.asarray(traj.lat)[:, :, 0, 0])
+
+    checked = 0
+    for r in range(3):
+        la = lat[:, r]
+        la = la[np.isfinite(la)]
+        # Only rays that actually propagate poleward approach the turning
+        # point; the root with initial l < 0 heads equatorward first but
+        # still turns at the mirror latitude, so |lat| covers both.
+        if la.size < 50 or np.ptp(la) < 5.0:
+            continue
+        peak = np.abs(la).max()
+        assert peak <= lat_turn + 0.5, (
+            f"root {r} crossed the turning latitude: {peak:.2f} > {lat_turn:.2f}"
+        )
+        assert peak >= lat_turn - 2.0, (
+            f"root {r} never reached the turning latitude: "
+            f"{peak:.2f} vs {lat_turn:.2f}"
+        )
+        checked += 1
+    assert checked >= 1, "no propagating root found"
+
+
 def test_rays_conserve_zonal_wavenumber_in_zonal_flow(superrotation_bs):
     """In a zonally-symmetric background, dk/dt = 0 along rays."""
     cfg = RunConfig(
