@@ -8,7 +8,12 @@ ray batch.
 """
 
 from rwrt_tpu.config import RunConfig
-from rwrt_tpu.models.basic_state import BasicState, prepare, regrid_to_uniform
+from rwrt_tpu.models.basic_state import (
+    BasicState,
+    prepare,
+    prepare_time_varying,
+    regrid_to_uniform,
+)
 from rwrt_tpu.tracer import RayTrajectories, source_matrix, trace_rays
 
 __all__ = [

@@ -95,6 +95,13 @@ class RunConfig:
     compact_rootless: bool = True
     # Background handling.
     xcyclic: bool = True
+    # Time-varying background (BASELINE.json config 4): when the input wind
+    # is 3-D (time, lat, lon), these give the model time of frame 0 and the
+    # frame spacing in seconds. bg_dt=0 means "take frame times from the
+    # input file's time variable" (which must then exist and be uniform,
+    # in seconds). Ignored for 2-D (static) inputs.
+    bg_t0: float = 0.0
+    bg_dt: float = 0.0
     # dtypes: read (ingest) and compute.
     read_dtype: str = "float32"
     cal_dtype: str = "float32"
@@ -136,6 +143,8 @@ class RunConfig:
             raise ValueError("tstep and ttotal must be positive")
         if self.difficulty_buckets < 1:
             raise ValueError("difficulty_buckets must be >= 1")
+        if self.bg_dt < 0:
+            raise ValueError("bg_dt must be >= 0 (seconds between frames)")
         if self.bound_mode not in ("exact", "dense"):
             raise ValueError(f"unknown bound_mode {self.bound_mode!r}")
         if self.bound_mode == "dense":

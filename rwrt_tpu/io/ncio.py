@@ -42,25 +42,34 @@ except ImportError:  # pragma: no cover
 
 LAT_CANDIDATES = ("lat", "latitude", "Lat", "Latitude")
 LON_CANDIDATES = ("lon", "longitude", "Lon", "Longitude")
+TIME_CANDIDATES = ("time", "times", "Time", "t")
 
 
 def _is_npz(path: str) -> bool:
     return str(path).endswith(".npz")
 
 
-def load_wind(path: str, read_dtype="float32") -> Tuple[np.ndarray, np.ndarray,
-                                                        np.ndarray, np.ndarray]:
+def load_wind(path: str, read_dtype="float32", *, with_time: bool = False):
     """Load (u, v, lat, lon); u/v returned (nlon, nlat), lat ascending radians.
 
     Accepts NetCDF (requires netCDF4) or .npz with keys u, v [, lat, lon]
-    where u/v are (lat, lon) like the NetCDF convention.
+    where u/v are (lat, lon) like the NetCDF convention. A 3-D input
+    (time, lat, lon) comes back as (T, nlon, nlat) — the shape
+    ``models.basic_state.prepare_time_varying`` takes. With
+    ``with_time=True`` a fifth element is returned: the input's time
+    coordinate (raw values, seconds by convention; None when absent).
     """
+    times = None
     if _is_npz(path):
         with np.load(path) as ds:
             u = np.asarray(ds["u"], read_dtype)
             v = np.asarray(ds["v"], read_dtype)
             lat = np.asarray(ds["lat"], np.float64) if "lat" in ds else None
             lon = np.asarray(ds["lon"], np.float64) if "lon" in ds else None
+            for name in TIME_CANDIDATES:
+                if name in ds:
+                    times = np.asarray(ds[name], np.float64)
+                    break
     else:
         if not HAVE_NETCDF:
             raise RuntimeError(
@@ -78,6 +87,10 @@ def load_wind(path: str, read_dtype="float32") -> Tuple[np.ndarray, np.ndarray,
             for name in LON_CANDIDATES:
                 if name in ds.variables:
                     lon = np.asarray(ds.variables[name][:], np.float64)
+                    break
+            for name in TIME_CANDIDATES:
+                if name in ds.variables:
+                    times = np.asarray(ds.variables[name][:], np.float64)
                     break
 
     nlat, nlon = u.shape[-2], u.shape[-1]
@@ -99,28 +112,38 @@ def load_wind(path: str, read_dtype="float32") -> Tuple[np.ndarray, np.ndarray,
     # (lat, lon) -> (lon, lat) (reference bs.py:245-247).
     u = np.moveaxis(u, -1, -2)
     v = np.moveaxis(v, -1, -2)
-    return u, v, np.ascontiguousarray(lat) * deg2rad, np.ascontiguousarray(lon) * deg2rad
+    out = (u, v, np.ascontiguousarray(lat) * deg2rad,
+           np.ascontiguousarray(lon) * deg2rad)
+    return out + (times,) if with_time else out
 
 
 def basic_state_fields(bs: BasicState) -> Dict[str, np.ndarray]:
-    """The 23-field diagnostic dict of reference BS.output (bs.py:481-505)."""
+    """The 23-field diagnostic dict of reference BS.output (bs.py:481-505).
+
+    For a time-varying basic state (4-D field stack) every entry carries a
+    leading time axis (T, nlon, nlat) — no reference counterpart (its
+    background is static).
+    """
     nlon = bs.nlon
-    f = np.asarray(bs.fields)[:nlon]
+    f = np.asarray(bs.fields)[..., :nlon, :, :]
     out = {name: f[..., i] for i, name in enumerate(FIELD_NAMES)}
     # uxx/vxx/uyy/vyy are in the reference's output set but not in the stack;
     # recompute cheaply on host.
-    from rwrt_tpu.ops import grid as g
+    import jax
     import jax.numpy as jnp
 
-    u = jnp.asarray(out["u"])
-    v = jnp.asarray(out["v"])
-    extra = {
-        "uxx": g.gradient_xx(u, bs.dx),
-        "uyy": g.gradient_yy(u, bs.dy),
-        "vxx": g.gradient_xx(v, bs.dx),
-        "vyy": g.gradient_yy(v, bs.dy),
-    }
-    out.update({k: np.asarray(val) for k, val in extra.items()})
+    from rwrt_tpu.ops import grid as g
+
+    def second_derivs(u, v):
+        return (g.gradient_xx(u, bs.dx), g.gradient_yy(u, bs.dy),
+                g.gradient_xx(v, bs.dx), g.gradient_yy(v, bs.dy))
+
+    if f.ndim == 4:  # time-varying: vmap the 2-D stencils over frames
+        second_derivs = jax.vmap(second_derivs)
+    uxx, uyy, vxx, vyy = second_derivs(jnp.asarray(out["u"]),
+                                       jnp.asarray(out["v"]))
+    out.update({"uxx": np.asarray(uxx), "uyy": np.asarray(uyy),
+                "vxx": np.asarray(vxx), "vyy": np.asarray(vyy)})
     out["q"] = np.asarray(bs.q)
     out["betam"] = np.asarray(bs.betam)
     out["KS"] = np.asarray(bs.ks)
@@ -137,9 +160,14 @@ def write_basic_state(bs: BasicState, path: str) -> None:
             path = str(path) + ".npz"
         np.savez_compressed(path, lon=lon_deg, lat=lat_deg, **fields)
         return
+    time_varying = fields["u"].ndim == 3
     with _nc.Dataset(path, "w", format="NETCDF4") as ds:  # pragma: no cover
         ds.createDimension("lon", bs.nlon)
         ds.createDimension("lat", bs.nlat)
+        dims = ("lon", "lat")
+        if time_varying:
+            ds.createDimension("time", fields["u"].shape[0])
+            dims = ("time", "lon", "lat")
         for name, data, unit in (
             ("lon", lon_deg, "degrees_east"), ("lat", lat_deg, "degrees_north")
         ):
@@ -149,9 +177,9 @@ def write_basic_state(bs: BasicState, path: str) -> None:
         units = {"u": "m/s", "v": "m/s", "q": "1/s",
                  "betam": "1/(m*s)", "KS": "1/m"}
         for name, data in fields.items():
-            var = ds.createVariable(name, "f8", ("lon", "lat"),
+            var = ds.createVariable(name, "f8", dims,
                                     zlib=True, complevel=4)
-            var[:, :] = data
+            var[:] = data
             var.units = units.get(name, "None")
 
 

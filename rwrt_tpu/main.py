@@ -13,7 +13,7 @@ from typing import Optional
 
 from rwrt_tpu.config import RunConfig
 from rwrt_tpu.io import ncio
-from rwrt_tpu.models.basic_state import prepare
+from rwrt_tpu.models.basic_state import prepare, prepare_time_varying
 from rwrt_tpu.tracer import RayTrajectories, trace_rays
 from rwrt_tpu.utils.checkpoint import trace_rays_chunked
 from rwrt_tpu.utils.observability import run_banner
@@ -44,11 +44,38 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         from rwrt_tpu.parallel.sharding import make_mesh
 
         mesh = make_mesh(config.mesh_devices)
-    u, v, lat, lon = ncio.load_wind(paths.inputuv, config.read_dtype)
-    bs = prepare(
-        u, v, lat, lon, xcyclic=config.xcyclic,
-        read_dtype=config.read_dtype, cal_dtype=config.cal_dtype,
-    )
+    u, v, lat, lon, times = ncio.load_wind(
+        paths.inputuv, config.read_dtype, with_time=True)
+    if u.ndim == 3:
+        # Time-varying background (BASELINE.json config 4): frame cadence
+        # from the config, else from the file's time variable (seconds).
+        if config.bg_dt > 0:
+            bg_t0, bg_dt = config.bg_t0, config.bg_dt
+        else:
+            if times is None or len(times) < 2:
+                raise ValueError(
+                    f"{paths.inputuv} holds {u.shape[0]} wind frames but no "
+                    "usable time variable; set bg_dt (and optionally bg_t0) "
+                    "in the config, in seconds"
+                )
+            import numpy as np
+
+            steps = np.diff(times)
+            if not np.allclose(steps, steps[0], rtol=1e-6):
+                raise ValueError(
+                    "input time variable is not uniformly spaced; "
+                    "set bg_dt explicitly"
+                )
+            bg_t0, bg_dt = float(times[0]), float(steps[0])
+        bs = prepare_time_varying(
+            u, v, lat, lon, bg_t0=bg_t0, bg_dt=bg_dt, xcyclic=config.xcyclic,
+            read_dtype=config.read_dtype, cal_dtype=config.cal_dtype,
+        )
+    else:
+        bs = prepare(
+            u, v, lat, lon, xcyclic=config.xcyclic,
+            read_dtype=config.read_dtype, cal_dtype=config.cal_dtype,
+        )
     if paths.bsfile:
         ncio.write_basic_state(bs, paths.bsfile)
     if verbose:
@@ -67,6 +94,12 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
 
         from rwrt_tpu.diagnostics import compute_wavenumber_maps
 
+        if bs.fields.ndim == 4:
+            raise ValueError(
+                "wnmaps are a static-background diagnostic; compute them "
+                "per frame via compute_wavenumber_maps on a single-frame "
+                "prepare() instead of a time-varying run"
+            )
         zwn = np.asarray(config.zwn_array())
         maps = compute_wavenumber_maps(bs, zwn, freq=config.freq)
         ncio.write_wavenumber_maps(maps, bs, zwn, wnmaps_path)

@@ -69,6 +69,56 @@ def test_run_pipeline_end_to_end(tmp_path, jet_field):
     )
 
 
+def test_run_time_varying_background_end_to_end(tmp_path, jet_field):
+    """A 3-D (time, lat, lon) input wind drives the time-varying pipeline
+    from the CLI config surface (BASELINE.json config 4), matching the
+    library-level prepare_time_varying + trace_rays result exactly."""
+    u, v, lat, lon = jet_field
+    frames = np.stack([u * (1.0 + 0.1 * i) for i in range(3)])
+    vframes = np.stack([v, v, v])
+    inp = str(tmp_path / "wind3d.npz")
+    # stored (time, lat, lon): transpose the (nlon, nlat) fixture per frame
+    np.savez(inp, u=np.swapaxes(frames, 1, 2), v=np.swapaxes(vframes, 1, 2),
+             lat=np.degrees(lat), lon=np.degrees(lon))
+    cfg = RunConfig(
+        zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+        nnx=2, nny=1, tstep=2 * HOUR, ttotal=1 * DAY,
+        integrator="rk45", cal_dtype="float64", bg_dt=1.0 * DAY,
+    )
+    paths = RunPaths(inputuv=inp, bsfile=str(tmp_path / "bs3d.npz"),
+                     ncfile=str(tmp_path / "rays3d.npz"))
+    traj = run(cfg, paths, verbose=False)
+
+    bs = rt.prepare_time_varying(frames, vframes, lat, lon, bg_dt=1.0 * DAY,
+                                 cal_dtype="float64")
+    ref = rt.trace_rays(bs, cfg)
+    np.testing.assert_allclose(np.asarray(traj.lat), np.asarray(ref.lat),
+                               rtol=0, atol=1e-12, equal_nan=True)
+    # basic-state diagnostics carry the frame axis
+    with np.load(str(tmp_path / "bs3d.npz")) as ds:
+        assert ds["u"].shape == (3, u.shape[0], u.shape[1])
+        assert ds["uxx"].shape == (3, u.shape[0], u.shape[1])
+
+    # frame cadence from the file's own time variable (seconds)
+    np.savez(inp, u=np.swapaxes(frames, 1, 2), v=np.swapaxes(vframes, 1, 2),
+             lat=np.degrees(lat), lon=np.degrees(lon),
+             time=np.arange(3) * DAY)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, bg_dt=0.0)
+    traj2 = run(cfg2, RunPaths(inputuv=inp), verbose=False)
+    np.testing.assert_allclose(np.asarray(traj2.lat), np.asarray(ref.lat),
+                               rtol=0, atol=1e-12, equal_nan=True)
+
+    # 3-D input with neither bg_dt nor a time variable must fail loudly
+    np.savez(inp, u=np.swapaxes(frames, 1, 2), v=np.swapaxes(vframes, 1, 2),
+             lat=np.degrees(lat), lon=np.degrees(lon))
+    import pytest
+
+    with pytest.raises(ValueError, match="bg_dt"):
+        run(cfg2, RunPaths(inputuv=inp), verbose=False)
+
+
 def test_initial_state_injection(jet_field):
     """trace_rays(initial_state=...) overrides computed initials (reference
     debug hook load_init_from_precal_nc, wr.py:398-415)."""
