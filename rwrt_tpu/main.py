@@ -21,31 +21,23 @@ from rwrt_tpu.utils.observability import run_banner
 
 @dataclasses.dataclass(frozen=True)
 class RunPaths:
-    """File paths (reference main_wr.py:23-25)."""
+    """File paths (reference main_wr.py:23-25).
 
-    inputuv: str              # background wind (nc or npz)
+    inputuv may be a list of wind files: that selects an ensemble sweep
+    (one member per file; BASELINE.json config 5). Per-member output paths
+    are derived from bsfile/ncfile via a ``{member}`` placeholder, or an
+    ``_m{i:03d}`` suffix before the extension when no placeholder is given.
+    """
+
+    inputuv: str              # background wind (nc or npz), or list of them
     bsfile: Optional[str] = None   # basic-state diagnostics output
     ncfile: Optional[str] = None   # trajectory output
 
 
-def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
-        chunked: bool = False, checkpoint_path: Optional[str] = None,
-        wnmaps_path: Optional[str] = None) -> RayTrajectories:
-    """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89).
-
-    mesh: a jax.sharding.Mesh, or True to build one over
-    config.mesh_devices local devices (None = all).
-    wnmaps_path: also write the grid-wide wavenumber diagnostics (the
-    reference's standalone WN product, wn.py:21-135) there, reusing the
-    basic state this run already prepared.
-    """
-    config.validate()
-    if mesh is True:
-        from rwrt_tpu.parallel.sharding import make_mesh
-
-        mesh = make_mesh(config.mesh_devices)
+def _load_and_prepare(inputuv: str, config: RunConfig):
+    """Load one wind file and build its (static or time-varying) BasicState."""
     u, v, lat, lon, times = ncio.load_wind(
-        paths.inputuv, config.read_dtype, with_time=True)
+        inputuv, config.read_dtype, with_time=True)
     if u.ndim == 3:
         # Time-varying background (BASELINE.json config 4): frame cadence
         # from the config, else from the file's time variable (seconds).
@@ -54,7 +46,7 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         else:
             if times is None or len(times) < 2:
                 raise ValueError(
-                    f"{paths.inputuv} holds {u.shape[0]} wind frames but no "
+                    f"{inputuv} holds {u.shape[0]} wind frames but no "
                     "usable time variable; set bg_dt (and optionally bg_t0) "
                     "in the config, in seconds"
                 )
@@ -67,15 +59,51 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
                     "set bg_dt explicitly"
                 )
             bg_t0, bg_dt = float(times[0]), float(steps[0])
-        bs = prepare_time_varying(
+        return prepare_time_varying(
             u, v, lat, lon, bg_t0=bg_t0, bg_dt=bg_dt, xcyclic=config.xcyclic,
             read_dtype=config.read_dtype, cal_dtype=config.cal_dtype,
         )
-    else:
-        bs = prepare(
-            u, v, lat, lon, xcyclic=config.xcyclic,
-            read_dtype=config.read_dtype, cal_dtype=config.cal_dtype,
-        )
+    return prepare(
+        u, v, lat, lon, xcyclic=config.xcyclic,
+        read_dtype=config.read_dtype, cal_dtype=config.cal_dtype,
+    )
+
+
+def _member_path(template: Optional[str], i: int) -> Optional[str]:
+    """Per-member output path: {member} placeholder or _m{i:03d} suffix."""
+    if template is None:
+        return None
+    if "{member}" in template:
+        return template.format(member=i)
+    root, dot, ext = str(template).rpartition(".")
+    return f"{root}_m{i:03d}{dot}{ext}" if dot else f"{template}_m{i:03d}"
+
+
+def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
+        chunked: bool = False, checkpoint_path: Optional[str] = None,
+        wnmaps_path: Optional[str] = None) -> RayTrajectories:
+    """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89).
+
+    mesh: a jax.sharding.Mesh, or True to build one over
+    config.mesh_devices local devices (None = all).
+    wnmaps_path: also write the grid-wide wavenumber diagnostics (the
+    reference's standalone WN product, wn.py:21-135) there, reusing the
+    basic state this run already prepared.
+
+    With a list-valued paths.inputuv the run is an ensemble sweep
+    (trace_rays_ensemble): one member per file, per-member output files,
+    and the return value is the list of per-member trajectories.
+    """
+    config.validate()
+    if mesh is True:
+        from rwrt_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(config.mesh_devices)
+    if isinstance(paths.inputuv, (list, tuple)):
+        return _run_ensemble(config, paths, mesh=mesh, verbose=verbose,
+                             chunked=chunked, checkpoint_path=checkpoint_path,
+                             wnmaps_path=wnmaps_path)
+    bs = _load_and_prepare(paths.inputuv, config)
     if paths.bsfile:
         ncio.write_basic_state(bs, paths.bsfile)
     if verbose:
@@ -106,3 +134,41 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         if verbose:
             print(f"wrote wavenumber maps to {wnmaps_path}")
     return traj
+
+
+def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
+                  chunked, checkpoint_path, wnmaps_path):
+    """Ensemble sweep over a list of input wind files (BASELINE config 5)."""
+    if chunked or checkpoint_path:
+        raise ValueError(
+            "the chunked/checkpoint driver runs single backgrounds; for "
+            "ensembles call run() per member or use trace_rays_ensemble"
+        )
+    if wnmaps_path:
+        raise ValueError(
+            "wnmaps is a single-background diagnostic; compute it per "
+            "member via compute_wavenumber_maps"
+        )
+    from rwrt_tpu.tracer import trace_rays_ensemble
+
+    members = [_load_and_prepare(p, config) for p in paths.inputuv]
+    shapes = {(m.nlon, m.nlat) for m in members}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"ensemble members must share one grid shape, got {sorted(shapes)}"
+        )
+    if verbose:
+        run_banner(config, members[0].nlon, members[0].nlat)
+        print(f"ensemble sweep: {len(members)} members")
+    for i, m in enumerate(members):
+        bsfile = _member_path(paths.bsfile, i)
+        if bsfile:
+            ncio.write_basic_state(m, bsfile)
+    trajs = trace_rays_ensemble(members, config, mesh=mesh)
+    for i, traj in enumerate(trajs):
+        ncfile = _member_path(paths.ncfile, i)
+        if ncfile:
+            ncio.write_trajectories(traj, ncfile, config.zwn_array())
+            if verbose:
+                print(f"wrote member {i} trajectories to {ncfile}")
+    return trajs

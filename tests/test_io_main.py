@@ -119,6 +119,43 @@ def test_run_time_varying_background_end_to_end(tmp_path, jet_field):
         run(cfg2, RunPaths(inputuv=inp), verbose=False)
 
 
+def test_run_ensemble_from_file_list(tmp_path, jet_field):
+    """A list-valued inputuv runs the ensemble sweep (BASELINE config 5)
+    with per-member output files, equal to per-member single runs."""
+    u, v, lat, lon = jet_field
+    inputs = []
+    for i in range(2):
+        p = str(tmp_path / f"wind_{i}.npz")
+        np.savez(p, u=(u * (1.0 + 0.2 * i)).T, v=v.T,
+                 lat=np.degrees(lat), lon=np.degrees(lon))
+        inputs.append(p)
+    cfg = RunConfig(
+        zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+        nnx=2, nny=1, tstep=2 * HOUR, ttotal=1 * DAY,
+        integrator="rk45", cal_dtype="float64",
+    )
+    paths = RunPaths(inputuv=inputs, ncfile=str(tmp_path / "rays.npz"))
+    trajs = run(cfg, paths, verbose=False)
+    assert len(trajs) == 2
+    for i in range(2):
+        out = ncio.load_trajectories(str(tmp_path / f"rays_m{i:03d}.npz"))
+        single = run(cfg, RunPaths(inputuv=inputs[i]), verbose=False)
+        np.testing.assert_allclose(
+            out["rlat"], np.degrees(np.asarray(single.lat)),
+            rtol=0, atol=1e-9, equal_nan=True)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="chunked"):
+        run(cfg, paths, verbose=False, chunked=True)
+    # {member} placeholder form
+    paths2 = RunPaths(inputuv=inputs,
+                      ncfile=str(tmp_path / "rays_{member}.npz"))
+    run(cfg, paths2, verbose=False)
+    assert (tmp_path / "rays_0.npz").exists()
+    assert (tmp_path / "rays_1.npz").exists()
+
+
 def test_initial_state_injection(jet_field):
     """trace_rays(initial_state=...) overrides computed initials (reference
     debug hook load_init_from_precal_nc, wr.py:398-415)."""
