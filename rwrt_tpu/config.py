@@ -102,6 +102,14 @@ class RunConfig:
     # in seconds). Ignored for 2-D (static) inputs.
     bg_t0: float = 0.0
     bg_dt: float = 0.0
+    # Optional spherical-harmonic smoothing of the input wind at ingest
+    # (the reference's offline SHSF preprocessing step, SHSF.py:10-33 /
+    # manual section 7: triangular truncation at this degree; the manual's
+    # example uses 180/dlat_deg - 1). None = no smoothing.
+    # shsf_mode: 'projection' (any uniform grid) or 'dh' (exact Driscoll &
+    # Healy quadrature, pyshtools SHExpandDH semantics, DH grids only).
+    shsf_truncation: Optional[int] = None
+    shsf_mode: str = "projection"
     # dtypes: read (ingest) and compute.
     read_dtype: str = "float32"
     cal_dtype: str = "float32"
@@ -145,6 +153,10 @@ class RunConfig:
             raise ValueError("difficulty_buckets must be >= 1")
         if self.bg_dt < 0:
             raise ValueError("bg_dt must be >= 0 (seconds between frames)")
+        if self.shsf_truncation is not None and self.shsf_truncation < 1:
+            raise ValueError("shsf_truncation must be >= 1 (or None)")
+        if self.shsf_mode not in ("projection", "dh"):
+            raise ValueError(f"unknown shsf_mode {self.shsf_mode!r}")
         if self.bound_mode not in ("exact", "dense"):
             raise ValueError(f"unknown bound_mode {self.bound_mode!r}")
         if self.bound_mode == "dense":

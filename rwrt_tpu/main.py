@@ -38,6 +38,18 @@ def _load_and_prepare(inputuv: str, config: RunConfig):
     """Load one wind file and build its (static or time-varying) BasicState."""
     u, v, lat, lon, times = ncio.load_wind(
         inputuv, config.read_dtype, with_time=True)
+    if config.shsf_truncation is not None:
+        # Ingest-time spherical-harmonic smoothing (the reference's offline
+        # SHSF preprocessing, SHSF.py:10-33 / manual section 7). shsf maps
+        # over a leading stack axis, so time frames pass straight through.
+        import numpy as np
+
+        from rwrt_tpu.diagnostics.spectral import shsf
+
+        u = np.asarray(shsf(u, lat, config.shsf_truncation,
+                            config.shsf_mode), u.dtype)
+        v = np.asarray(shsf(v, lat, config.shsf_truncation,
+                            config.shsf_mode), v.dtype)
     if u.ndim == 3:
         # Time-varying background (BASELINE.json config 4): frame cadence
         # from the config, else from the file's time variable (seconds).

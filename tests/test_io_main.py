@@ -119,6 +119,43 @@ def test_run_time_varying_background_end_to_end(tmp_path, jet_field):
         run(cfg2, RunPaths(inputuv=inp), verbose=False)
 
 
+def test_run_with_shsf_ingest_smoothing(tmp_path, jet_field):
+    """shsf_truncation in the config smooths (u, v) at ingest — the
+    reference's offline SHSF preprocessing step (SHSF.py, manual sec. 7) —
+    and matches applying diagnostics.spectral.shsf by hand."""
+    from rwrt_tpu.diagnostics.spectral import shsf
+
+    u, v, lat, lon = jet_field
+    # add rough small-scale noise the filter should remove
+    rng = np.random.default_rng(7)
+    u = u + 0.5 * rng.standard_normal(u.shape)
+    inp = str(tmp_path / "wind.npz")
+    np.savez(inp, u=u.T, v=v.T, lat=np.degrees(lat), lon=np.degrees(lon))
+    cfg = RunConfig(
+        zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+        nnx=1, nny=1, tstep=2 * HOUR, ttotal=1 * DAY,
+        integrator="rk4", cal_dtype="float64", shsf_truncation=8,
+    )
+    traj = run(cfg, RunPaths(inputuv=inp), verbose=False)
+
+    u32 = u.astype(np.float32).astype(np.float64)
+    v32 = v.astype(np.float32).astype(np.float64)
+    us = np.asarray(shsf(u32.astype(np.float32), lat, 8))
+    vs = np.asarray(shsf(v32.astype(np.float32), lat, 8))
+    bs = rt.prepare(us, vs, lat, lon, cal_dtype="float64")
+    ref = rt.trace_rays(bs, cfg)
+    np.testing.assert_allclose(np.asarray(traj.lat), np.asarray(ref.lat),
+                               rtol=0, atol=1e-12, equal_nan=True)
+    # and the smoothing actually changed the run vs unfiltered input
+    import dataclasses
+
+    raw = run(dataclasses.replace(cfg, shsf_truncation=None),
+              RunPaths(inputuv=inp), verbose=False)
+    a, b = np.asarray(traj.lat), np.asarray(raw.lat)
+    both = np.isfinite(a) & np.isfinite(b)
+    assert not np.allclose(a[both], b[both])
+
+
 def test_run_ensemble_from_file_list(tmp_path, jet_field):
     """A list-valued inputuv runs the ensemble sweep (BASELINE config 5)
     with per-member output files, equal to per-member single runs."""
