@@ -9,7 +9,10 @@ is a typed RunConfig (see config.py) instead of a loose dict.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
+
+import numpy as np
 
 from rwrt_tpu.config import RunConfig
 from rwrt_tpu.io import ncio
@@ -42,8 +45,6 @@ def _load_and_prepare(inputuv: str, config: RunConfig):
         # Ingest-time spherical-harmonic smoothing (the reference's offline
         # SHSF preprocessing, SHSF.py:10-33 / manual section 7). shsf maps
         # over a leading stack axis, so time frames pass straight through.
-        import numpy as np
-
         from rwrt_tpu.diagnostics.spectral import shsf
 
         u = np.asarray(shsf(u, lat, config.shsf_truncation,
@@ -62,8 +63,6 @@ def _load_and_prepare(inputuv: str, config: RunConfig):
                     "usable time variable; set bg_dt (and optionally bg_t0) "
                     "in the config, in seconds"
                 )
-            import numpy as np
-
             steps = np.diff(times)
             if not np.allclose(steps, steps[0], rtol=1e-6):
                 raise ValueError(
@@ -87,8 +86,8 @@ def _member_path(template: Optional[str], i: int) -> Optional[str]:
         return None
     if "{member}" in template:
         return template.format(member=i)
-    root, dot, ext = str(template).rpartition(".")
-    return f"{root}_m{i:03d}{dot}{ext}" if dot else f"{template}_m{i:03d}"
+    root, ext = os.path.splitext(str(template))
+    return f"{root}_m{i:03d}{ext}"
 
 
 def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
@@ -130,8 +129,6 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
     if paths.ncfile:
         ncio.write_trajectories(traj, paths.ncfile, config.zwn_array())
     if wnmaps_path:
-        import numpy as np
-
         from rwrt_tpu.diagnostics import compute_wavenumber_maps
 
         if bs.fields.ndim == 4:
@@ -168,6 +165,11 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
     if len(shapes) != 1:
         raise ValueError(
             f"ensemble members must share one grid shape, got {sorted(shapes)}"
+        )
+    if len({m.fields.ndim for m in members}) != 1:
+        raise ValueError(
+            "ensemble members must be all static or all time-varying "
+            "(mixed 2-D and 3-D input winds)"
         )
     if verbose:
         run_banner(config, members[0].nlon, members[0].nlat)

@@ -119,6 +119,15 @@ def test_run_time_varying_background_end_to_end(tmp_path, jet_field):
         run(cfg2, RunPaths(inputuv=inp), verbose=False)
 
 
+def test_member_path_edge_cases():
+    from rwrt_tpu.main import _member_path
+
+    assert _member_path("/tmp/run.dir/rays", 2) == "/tmp/run.dir/rays_m002"
+    assert _member_path("/tmp/run.dir/rays.npz", 0) == "/tmp/run.dir/rays_m000.npz"
+    assert _member_path("rays_{member}.npz", 3) == "rays_3.npz"
+    assert _member_path(None, 1) is None
+
+
 def test_run_with_shsf_ingest_smoothing(tmp_path, jet_field):
     """shsf_truncation in the config smooths (u, v) at ingest — the
     reference's offline SHSF preprocessing step (SHSF.py, manual sec. 7) —
