@@ -23,23 +23,39 @@ import numpy as np
 from rwrt_tpu.constants import deg2rad
 
 
-def load_ray_output(path: str):
-    """Read a trajectory file (write_trajectories schema) into the
-    RayTrajectories pytree the diagnostics consume."""
+def load_ray_output(path):
+    """Read trajectory file(s) (write_trajectories schema) into the
+    RayTrajectories pytree the diagnostics consume.
+
+    A list of paths (e.g. the per-member files of a CLI ensemble run) is
+    concatenated along the source axis, so every downstream diagnostic
+    (flux maps, region statistics) aggregates over all members in one pass.
+    """
     import jax.numpy as jnp
 
     from rwrt_tpu.io import ncio
     from rwrt_tpu.tracer import RayTrajectories
 
-    d = ncio.load_trajectories(path)
+    paths = [path] if isinstance(path, str) else list(path)
+    parts = [ncio.load_trajectories(p) for p in paths]
+    shapes = {p["rlon"].shape[0:2] + p["rlon"].shape[3:4] for p in parts}
+    if len(shapes) != 1:
+        raise ValueError(
+            "trajectory files must share (time, root, zwn) dims to be "
+            f"aggregated, got {sorted(shapes)}"
+        )
+
+    def cat(key):
+        return np.concatenate([p[key] for p in parts], axis=2)
+
     return RayTrajectories(
-        lon=jnp.asarray(d["rlon"] * deg2rad),
-        lat=jnp.asarray(d["rlat"] * deg2rad),
-        kx=jnp.asarray(d["rzwn"]),
-        ky=jnp.asarray(d["rmwn"]),
-        amp=jnp.asarray(d["ramp"]),
-        ug=jnp.asarray(d["rug"]),
-        vg=jnp.asarray(d["rvg"]),
+        lon=jnp.asarray(cat("rlon") * deg2rad),
+        lat=jnp.asarray(cat("rlat") * deg2rad),
+        kx=jnp.asarray(cat("rzwn")),
+        ky=jnp.asarray(cat("rmwn")),
+        amp=jnp.asarray(cat("ramp")),
+        ug=jnp.asarray(cat("rug")),
+        vg=jnp.asarray(cat("rvg")),
     )
 
 
@@ -112,7 +128,10 @@ def main(argv=None) -> int:
         description="Li-Yang wave-ray flux over a trajectory file "
                     "(WRF_universal equivalent; manual section 4)",
     )
-    ap.add_argument("--traj", required=True, help="trajectory file (nc/npz)")
+    ap.add_argument("--traj", required=True, nargs="+",
+                    help="trajectory file(s) (nc/npz); several files (e.g. "
+                         "an ensemble's per-member outputs) aggregate into "
+                         "one set of flux maps/statistics")
     ap.add_argument("--out", required=True, help="output flux file (nc/npz)")
     ap.add_argument("--nlon-bins", type=int, default=360)
     ap.add_argument("--nlat-bins", type=int, default=90)

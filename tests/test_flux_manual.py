@@ -178,6 +178,39 @@ def test_wrf_universal_cli(tmp_path):
         np.testing.assert_allclose(float(d["mean_entry_time"]), 2 * HOUR)
 
 
+def test_wrf_cli_multi_file_aggregation(tmp_path):
+    """Several trajectory files (an ensemble's per-member outputs)
+    aggregate into one flux product, equal to binning the union."""
+    from rwrt_tpu.diagnostics import wrf_cli
+    from rwrt_tpu.io import ncio
+
+    import jax.numpy as jnp
+
+    one = _toy_traj()
+    # two "members": the toy set and a copy shifted 5 degrees east
+    shifted = type(one)(one.lon + np.radians(5.0), *one[1:])
+    traj = type(one)(*(jnp.concatenate([np.asarray(a), np.asarray(b)], axis=2)
+                       for a, b in zip(one, shifted)))
+    whole = str(tmp_path / "whole.npz")
+    ncio.write_trajectories(traj, whole)
+    parts = []
+    for i, member in enumerate((one, shifted)):
+        p = str(tmp_path / f"m{i}.npz")
+        ncio.write_trajectories(member, p)
+        parts.append(p)
+
+    out_multi = str(tmp_path / "wrf_multi.npz")
+    out_whole = str(tmp_path / "wrf_whole.npz")
+    common = ["--weight", "count", "--tstep", str(2 * HOUR),
+              "--lon-range", "15", "25", "--lat-range", "-2", "10"]
+    assert wrf_cli.main(["--traj", *parts, "--out", out_multi] + common) == 0
+    assert wrf_cli.main(["--traj", whole, "--out", out_whole] + common) == 0
+    with np.load(out_multi) as a, np.load(out_whole) as b:
+        np.testing.assert_array_equal(a["count"], b["count"])
+        np.testing.assert_allclose(a["flux_u"], b["flux_u"], rtol=0, atol=0)
+        assert int(a["n_passing"]) == int(b["n_passing"])
+
+
 def test_longitude_three_circle_scope():
     """A ray circling the globe eastward keeps accumulating longitude past
     360 deg instead of wrapping (manual: -360..720 scope)."""
