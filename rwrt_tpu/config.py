@@ -110,6 +110,10 @@ class RunConfig:
     # Healy quadrature, pyshtools SHExpandDH semantics, DH grids only).
     shsf_truncation: Optional[int] = None
     shsf_mode: str = "projection"
+    # Bilinearly regrid the input wind onto the uniform global grid at
+    # ingest (models.basic_state.regrid_to_uniform) — for Gaussian/regional
+    # grids that `prepare` refuses. Applied before shsf smoothing.
+    regrid: bool = False
     # dtypes: read (ingest) and compute.
     read_dtype: str = "float32"
     cal_dtype: str = "float32"

@@ -16,7 +16,11 @@ import numpy as np
 
 from rwrt_tpu.config import RunConfig
 from rwrt_tpu.io import ncio
-from rwrt_tpu.models.basic_state import prepare, prepare_time_varying
+from rwrt_tpu.models.basic_state import (
+    prepare,
+    prepare_time_varying,
+    regrid_to_uniform,
+)
 from rwrt_tpu.tracer import RayTrajectories, trace_rays
 from rwrt_tpu.utils.checkpoint import trace_rays_chunked
 from rwrt_tpu.utils.observability import run_banner
@@ -41,6 +45,20 @@ def _load_and_prepare(inputuv: str, config: RunConfig):
     """Load one wind file and build its (static or time-varying) BasicState."""
     u, v, lat, lon, times = ncio.load_wind(
         inputuv, config.read_dtype, with_time=True)
+    if config.regrid:
+        # Ingest-time regrid for Gaussian/regional source grids that
+        # `prepare` refuses (reference scalar-path searchsorted semantics).
+        if u.ndim == 3:
+            frames = [regrid_to_uniform(u[i], v[i], lat, lon)
+                      for i in range(u.shape[0])]
+            u = np.stack([f[0] for f in frames]).astype(u.dtype)
+            v = np.stack([f[1] for f in frames]).astype(v.dtype)
+            lat, lon = frames[0][2], frames[0][3]
+        else:
+            dtype = u.dtype
+            u, v, lat, lon = regrid_to_uniform(u, v, lat, lon)
+            u = u.astype(dtype)
+            v = v.astype(dtype)
     if config.shsf_truncation is not None:
         # Ingest-time spherical-harmonic smoothing (the reference's offline
         # SHSF preprocessing, SHSF.py:10-33 / manual section 7). shsf maps

@@ -119,6 +119,40 @@ def test_run_time_varying_background_end_to_end(tmp_path, jet_field):
         run(cfg2, RunPaths(inputuv=inp), verbose=False)
 
 
+def test_run_regrid_gaussian_input(tmp_path, jet_field):
+    """config.regrid=True lets the CLI ingest a Gaussian-latitude file that
+    prepare() would refuse, matching a by-hand regrid_to_uniform run."""
+    u, v, lat, lon = jet_field
+    # resample the jet field onto a Gaussian-like (non-uniform) latitude axis
+    nlat = lat.shape[0]
+    glat = np.arcsin(np.polynomial.legendre.leggauss(nlat)[0])
+    ug = np.stack([np.interp(glat, lat, u[i]) for i in range(u.shape[0])])
+    vg = np.stack([np.interp(glat, lat, v[i]) for i in range(v.shape[0])])
+    inp = str(tmp_path / "gauss.npz")
+    np.savez(inp, u=ug.T, v=vg.T, lat=np.degrees(glat), lon=np.degrees(lon))
+
+    cfg = RunConfig(zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+                    nnx=1, nny=1, tstep=2 * HOUR, ttotal=1 * DAY,
+                    integrator="rk4", cal_dtype="float64")
+    import pytest
+
+    with pytest.raises(ValueError, match="regrid_to_uniform"):
+        run(cfg, RunPaths(inputuv=inp), verbose=False)
+
+    import dataclasses
+
+    traj = run(dataclasses.replace(cfg, regrid=True),
+               RunPaths(inputuv=inp), verbose=False)
+
+    u32, v32 = ug.T.astype(np.float32), vg.T.astype(np.float32)
+    ur, vr, latr, lonr = rt.regrid_to_uniform(u32.T, v32.T, glat, lon)
+    bs = rt.prepare(ur.astype(np.float32), vr.astype(np.float32), latr, lonr,
+                    cal_dtype="float64")
+    ref = rt.trace_rays(bs, cfg)
+    np.testing.assert_allclose(np.asarray(traj.lat), np.asarray(ref.lat),
+                               rtol=0, atol=1e-12, equal_nan=True)
+
+
 def test_member_path_edge_cases():
     from rwrt_tpu.main import _member_path
 
