@@ -165,12 +165,13 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
 
 def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
                   chunked, checkpoint_path, wnmaps_path):
-    """Ensemble sweep over a list of input wind files (BASELINE config 5)."""
-    if chunked or checkpoint_path:
-        raise ValueError(
-            "the chunked/checkpoint driver runs single backgrounds; for "
-            "ensembles call run() per member or use trace_rays_ensemble"
-        )
+    """Ensemble sweep over a list of input wind files (BASELINE config 5).
+
+    The fused path batches all members into one device program
+    (trace_rays_ensemble); with chunked/checkpoint_path the members run
+    sequentially through the chunked driver instead (bounded device memory,
+    per-member checkpoint files, resumable member by member).
+    """
     if wnmaps_path:
         raise ValueError(
             "wnmaps is a single-background diagnostic; compute it per "
@@ -196,7 +197,17 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
         bsfile = _member_path(paths.bsfile, i)
         if bsfile:
             ncio.write_basic_state(m, bsfile)
-    trajs = trace_rays_ensemble(members, config, mesh=mesh)
+    if chunked or checkpoint_path:
+        trajs = []
+        for i, m in enumerate(members):
+            if verbose:
+                print(f"member {i}/{len(members)} (chunked)")
+            trajs.append(trace_rays_chunked(
+                m, config, checkpoint_path=_member_path(checkpoint_path, i),
+                verbose=verbose, mesh=mesh,
+            ))
+    else:
+        trajs = trace_rays_ensemble(members, config, mesh=mesh)
     for i, traj in enumerate(trajs):
         ncfile = _member_path(paths.ncfile, i)
         if ncfile:

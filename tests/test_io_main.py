@@ -224,10 +224,12 @@ def test_run_ensemble_from_file_list(tmp_path, jet_field):
             out["rlat"], np.degrees(np.asarray(single.lat)),
             rtol=0, atol=1e-9, equal_nan=True)
 
-    import pytest
-
-    with pytest.raises(ValueError, match="chunked"):
-        run(cfg, paths, verbose=False, chunked=True)
+    # chunked ensemble: sequential per-member chunked runs, same results
+    chunked_trajs = run(cfg, RunPaths(inputuv=inputs), verbose=False,
+                        chunked=True)
+    for a, b in zip(chunked_trajs, trajs):
+        np.testing.assert_allclose(np.asarray(a.lat), np.asarray(b.lat),
+                                   rtol=0, atol=1e-12, equal_nan=True)
     # {member} placeholder form
     paths2 = RunPaths(inputuv=inputs,
                       ncfile=str(tmp_path / "rays_{member}.npz"))
