@@ -33,6 +33,8 @@ def main(argv=None):
 
     with open(args.config) as f:
         raw = json.load(f)
+    # keys starting with "_" are comments (JSON has no comment syntax)
+    raw = {k: v for k, v in raw.items() if not k.startswith("_")}
 
     paths = RunPaths(
         inputuv=raw.pop("inputuv"),
