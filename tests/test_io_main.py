@@ -25,6 +25,28 @@ def test_load_wind_npz_latflip_and_transpose(tmp_path, jet_field):
     assert lat2[0] < lat2[-1]
 
 
+def test_load_wind_3d_latflip_and_time(tmp_path, jet_field):
+    """3-D (time, lat, lon) inputs flip descending latitude per frame and
+    return the time coordinate with with_time=True."""
+    u, v, lat, lon = jet_field
+    frames = np.stack([u, 2 * u, 3 * u])          # (T, nlon, nlat)
+    path = str(tmp_path / "wind3d.npz")
+    np.savez(
+        path,
+        u=np.swapaxes(frames, 1, 2)[:, ::-1],     # (T, lat desc, lon)
+        v=np.swapaxes(np.stack([v, v, v]), 1, 2)[:, ::-1],
+        lat=np.degrees(lat)[::-1], lon=np.degrees(lon),
+        time=np.array([0.0, 3600.0, 7200.0]),
+    )
+    u2, v2, lat2, lon2, t2 = ncio.load_wind(path, with_time=True)
+    assert u2.shape == (3,) + u.shape
+    np.testing.assert_allclose(u2[1], 2 * u.astype(np.float32), rtol=1e-6)
+    assert lat2[0] < lat2[-1]
+    np.testing.assert_allclose(t2, [0.0, 3600.0, 7200.0])
+    # without with_time: 4-tuple, unchanged legacy shape
+    assert len(ncio.load_wind(path)) == 4
+
+
 def test_basic_state_output_fields(tmp_path, jet_field):
     u, v, lat, lon = jet_field
     bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
