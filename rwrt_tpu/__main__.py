@@ -23,6 +23,10 @@ def main(argv=None):
                     help="chunked driver with progress reporting")
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint file for resumable runs")
+    ap.add_argument("--report", default=None, metavar="PATH",
+                    help="write a machine-readable JSON run report (config "
+                         "echo, backend/mesh, phase wall-clock, per-ray "
+                         "termination accounting)")
     ap.add_argument("--wnmaps", default=None, metavar="PATH",
                     help="also compute and write the grid-wide wavenumber "
                          "diagnostics (stationary/non-stationary m-roots, "
@@ -47,7 +51,8 @@ def main(argv=None):
     # --wnmaps rides the same run: the maps are computed from the basic
     # state run() already prepared (no second load + prepare pass).
     run(cfg, paths, mesh=True if args.mesh else None, chunked=args.chunked,
-        checkpoint_path=args.checkpoint, wnmaps_path=args.wnmaps)
+        checkpoint_path=args.checkpoint, wnmaps_path=args.wnmaps,
+        report_path=args.report)
     return 0
 
 

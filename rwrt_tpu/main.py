@@ -9,7 +9,9 @@ is a typed RunConfig (see config.py) instead of a loose dict.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -108,9 +110,54 @@ def _member_path(template: Optional[str], i: int) -> Optional[str]:
     return f"{root}_m{i:03d}{ext}"
 
 
+def _report_skeleton(config: RunConfig, paths: RunPaths, mesh) -> dict:
+    """Common header of the machine-readable run report."""
+    import jax
+
+    import rwrt_tpu
+
+    return {
+        "framework": "rwrt_tpu",
+        "version": getattr(rwrt_tpu, "__version__", "unknown"),
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "n_devices": jax.local_device_count(),
+        "mesh": (dict(zip(mesh.axis_names, mesh.devices.shape))
+                 if mesh is not None and mesh is not True else None),
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "config": dataclasses.asdict(config),
+        "paths": dataclasses.asdict(paths),
+    }
+
+
+def _traj_summary(traj: RayTrajectories, config: RunConfig) -> dict:
+    """Termination accounting + shape summary of one trajectory set."""
+    from rwrt_tpu.diagnostics.termination import analyze
+
+    rep = analyze(traj)
+    nt = int(np.asarray(traj.lon).shape[0])
+    return {
+        "nt": nt,
+        "shape": list(np.asarray(traj.lon).shape),
+        "n_rays": int(np.prod(np.asarray(traj.lon).shape[1:])),
+        "termination": rep.counts,
+        "final_alive_frac": float(rep.alive_frac[-1]),
+    }
+
+
+def _write_report(report: dict, path: str, verbose: bool) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(report, fh, indent=2)
+    os.replace(tmp, path)
+    if verbose:
+        print(f"wrote run report to {path}")
+
+
 def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         chunked: bool = False, checkpoint_path: Optional[str] = None,
-        wnmaps_path: Optional[str] = None) -> RayTrajectories:
+        wnmaps_path: Optional[str] = None,
+        report_path: Optional[str] = None) -> RayTrajectories:
     """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89).
 
     mesh: a jax.sharding.Mesh, or True to build one over
@@ -118,6 +165,9 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
     wnmaps_path: also write the grid-wide wavenumber diagnostics (the
     reference's standalone WN product, wn.py:21-135) there, reusing the
     basic state this run already prepared.
+    report_path: write a machine-readable JSON run report there (config
+    echo, backend/mesh, phase wall-clock, termination accounting) -- the
+    production-observability counterpart of the reference's prints.
 
     With a list-valued paths.inputuv the run is an ensemble sweep
     (trace_rays_ensemble): one member per file, per-member output files,
@@ -131,8 +181,11 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
     if isinstance(paths.inputuv, (list, tuple)):
         return _run_ensemble(config, paths, mesh=mesh, verbose=verbose,
                              chunked=chunked, checkpoint_path=checkpoint_path,
-                             wnmaps_path=wnmaps_path)
+                             wnmaps_path=wnmaps_path, report_path=report_path)
+    report = _report_skeleton(config, paths, mesh) if report_path else None
+    t_start = time.perf_counter()
     bs = _load_and_prepare(paths.inputuv, config)
+    t_prepare = time.perf_counter()
     if paths.bsfile:
         ncio.write_basic_state(bs, paths.bsfile)
     if verbose:
@@ -144,6 +197,7 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         )
     else:
         traj = trace_rays(bs, config, mesh=mesh)
+    t_trace = time.perf_counter()
     if paths.ncfile:
         ncio.write_trajectories(traj, paths.ncfile, config.zwn_array())
     if wnmaps_path:
@@ -160,11 +214,23 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         ncio.write_wavenumber_maps(maps, bs, zwn, wnmaps_path)
         if verbose:
             print(f"wrote wavenumber maps to {wnmaps_path}")
+    if report is not None:
+        t_end = time.perf_counter()
+        report["grid"] = {"nlon": int(bs.nlon), "nlat": int(bs.nlat),
+                          "time_varying": bool(bs.fields.ndim == 4)}
+        report["trajectories"] = _traj_summary(traj, config)
+        report["wall_s"] = {
+            "prepare": round(t_prepare - t_start, 4),
+            "trace": round(t_trace - t_prepare, 4),
+            "io": round(t_end - t_trace, 4),
+            "total": round(t_end - t_start, 4),
+        }
+        _write_report(report, report_path, verbose)
     return traj
 
 
 def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
-                  chunked, checkpoint_path, wnmaps_path):
+                  chunked, checkpoint_path, wnmaps_path, report_path=None):
     """Ensemble sweep over a list of input wind files (BASELINE config 5).
 
     The fused path batches all members into one device program
@@ -179,7 +245,10 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
         )
     from rwrt_tpu.tracer import trace_rays_ensemble
 
+    report = _report_skeleton(config, paths, mesh) if report_path else None
+    t_start = time.perf_counter()
     members = [_load_and_prepare(p, config) for p in paths.inputuv]
+    t_prepare = time.perf_counter()
     shapes = {(m.nlon, m.nlat) for m in members}
     if len(shapes) != 1:
         raise ValueError(
@@ -208,10 +277,25 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
             ))
     else:
         trajs = trace_rays_ensemble(members, config, mesh=mesh)
+    t_trace = time.perf_counter()
     for i, traj in enumerate(trajs):
         ncfile = _member_path(paths.ncfile, i)
         if ncfile:
             ncio.write_trajectories(traj, ncfile, config.zwn_array())
             if verbose:
                 print(f"wrote member {i} trajectories to {ncfile}")
+    if report is not None:
+        t_end = time.perf_counter()
+        report["grid"] = {"nlon": int(members[0].nlon),
+                          "nlat": int(members[0].nlat),
+                          "time_varying": bool(members[0].fields.ndim == 4)}
+        report["n_members"] = len(members)
+        report["members"] = [_traj_summary(t, config) for t in trajs]
+        report["wall_s"] = {
+            "prepare": round(t_prepare - t_start, 4),
+            "trace": round(t_trace - t_prepare, 4),
+            "io": round(t_end - t_trace, 4),
+            "total": round(t_end - t_start, 4),
+        }
+        _write_report(report, report_path, verbose)
     return trajs

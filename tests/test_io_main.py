@@ -336,3 +336,52 @@ def test_cli_end_to_end(tmp_path, jet_field):
     with np.load(wn_path) as ds:
         assert ds["mwn"].shape == (u.shape[0], u.shape[1], 1, 3)
         assert "KS" in ds.files
+
+
+def test_cli_run_report(tmp_path, jet_field):
+    """--report writes a machine-readable JSON run report: config echo,
+    backend, phase wall-clock, and per-ray termination accounting."""
+    import json
+
+    from rwrt_tpu.__main__ import main as cli_main
+
+    u, v, lat, lon = jet_field
+    inp = str(tmp_path / "wind.npz")
+    np.savez(inp, u=u.T, v=v.T, lat=np.degrees(lat), lon=np.degrees(lon))
+    cfg = {
+        "inputuv": inp,
+        "zwn": [2.0, 3.0],
+        "sw_lon": 10.0, "sw_lat": 15.0, "dlon": 5.0, "dlat": 5.0,
+        "nnx": 2, "nny": 2,
+        "tstep": 7200.0, "ttotal": 86400.0,
+        "integrator": "rk4", "cal_dtype": "float64",
+    }
+    cfg_path = str(tmp_path / "run.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    rep_path = str(tmp_path / "report.json")
+    assert cli_main(["--config", cfg_path, "--report", rep_path]) == 0
+    with open(rep_path) as f:
+        rep = json.load(f)
+    assert rep["framework"] == "rwrt_tpu"
+    assert rep["config"]["nnx"] == 2
+    assert rep["grid"] == {"nlon": u.shape[0], "nlat": u.shape[1],
+                           "time_varying": False}
+    tsum = rep["trajectories"]
+    assert tsum["nt"] == 13
+    assert tsum["n_rays"] == 3 * 4 * 2
+    counts = tsum["termination"]
+    assert sum(counts.values()) == tsum["n_rays"]
+    assert rep["wall_s"]["total"] >= rep["wall_s"]["trace"] > 0
+
+    # Ensemble report: per-member termination summaries.
+    cfg["inputuv"] = [inp, inp]
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    rep2_path = str(tmp_path / "report2.json")
+    assert cli_main(["--config", cfg_path, "--report", rep2_path]) == 0
+    with open(rep2_path) as f:
+        rep2 = json.load(f)
+    assert rep2["n_members"] == 2
+    assert len(rep2["members"]) == 2
+    assert rep2["members"][0]["termination"] == rep2["members"][1]["termination"]
