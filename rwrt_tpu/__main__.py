@@ -27,6 +27,10 @@ def main(argv=None):
                     help="write a machine-readable JSON run report (config "
                          "echo, backend/mesh, phase wall-clock, per-ray "
                          "termination accounting)")
+    ap.add_argument("--report-exact", action="store_true",
+                    help="exact death causes in the report "
+                         "(termination.classify re-runs each killing "
+                         "interval in one batched device call)")
     ap.add_argument("--wnmaps", default=None, metavar="PATH",
                     help="also compute and write the grid-wide wavenumber "
                          "diagnostics (stationary/non-stationary m-roots, "
@@ -52,7 +56,7 @@ def main(argv=None):
     # state run() already prepared (no second load + prepare pass).
     run(cfg, paths, mesh=True if args.mesh else None, chunked=args.chunked,
         checkpoint_path=args.checkpoint, wnmaps_path=args.wnmaps,
-        report_path=args.report)
+        report_path=args.report, report_exact_causes=args.report_exact)
     return 0
 
 

@@ -130,17 +130,24 @@ def _report_skeleton(config: RunConfig, paths: RunPaths, mesh) -> dict:
     }
 
 
-def _traj_summary(traj: RayTrajectories, config: RunConfig) -> dict:
-    """Termination accounting + shape summary of one trajectory set."""
-    from rwrt_tpu.diagnostics.termination import analyze
+def _traj_summary(traj: RayTrajectories, config: RunConfig,
+                  bs=None) -> dict:
+    """Termination accounting + shape summary of one trajectory set.
 
-    rep = analyze(traj)
+    With a basic state, death causes are exact (termination.classify
+    re-runs each killing interval in one batched call); otherwise they are
+    the coarse host-side heuristic (termination.analyze).
+    """
+    from rwrt_tpu.diagnostics.termination import analyze, classify
+
+    rep = classify(traj, bs, config) if bs is not None else analyze(traj)
     nt = int(np.asarray(traj.lon).shape[0])
     return {
         "nt": nt,
         "shape": list(np.asarray(traj.lon).shape),
         "n_rays": int(np.prod(np.asarray(traj.lon).shape[1:])),
         "termination": rep.counts,
+        "termination_causes": "exact" if bs is not None else "heuristic",
         "final_alive_frac": float(rep.alive_frac[-1]),
     }
 
@@ -157,7 +164,8 @@ def _write_report(report: dict, path: str, verbose: bool) -> None:
 def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         chunked: bool = False, checkpoint_path: Optional[str] = None,
         wnmaps_path: Optional[str] = None,
-        report_path: Optional[str] = None) -> RayTrajectories:
+        report_path: Optional[str] = None,
+        report_exact_causes: bool = False) -> RayTrajectories:
     """Execute the full pipeline (reference real2d_hnf, main_wr.py:31-89).
 
     mesh: a jax.sharding.Mesh, or True to build one over
@@ -168,6 +176,9 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
     report_path: write a machine-readable JSON run report there (config
     echo, backend/mesh, phase wall-clock, termination accounting) -- the
     production-observability counterpart of the reference's prints.
+    report_exact_causes: death causes in the report come from
+    termination.classify (exact, one extra batched device call over the
+    dead rays) instead of the free host-side heuristic.
 
     With a list-valued paths.inputuv the run is an ensemble sweep
     (trace_rays_ensemble): one member per file, per-member output files,
@@ -181,7 +192,8 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
     if isinstance(paths.inputuv, (list, tuple)):
         return _run_ensemble(config, paths, mesh=mesh, verbose=verbose,
                              chunked=chunked, checkpoint_path=checkpoint_path,
-                             wnmaps_path=wnmaps_path, report_path=report_path)
+                             wnmaps_path=wnmaps_path, report_path=report_path,
+                             report_exact_causes=report_exact_causes)
     report = _report_skeleton(config, paths, mesh) if report_path else None
     t_start = time.perf_counter()
     bs = _load_and_prepare(paths.inputuv, config)
@@ -218,7 +230,8 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         t_end = time.perf_counter()
         report["grid"] = {"nlon": int(bs.nlon), "nlat": int(bs.nlat),
                           "time_varying": bool(bs.fields.ndim == 4)}
-        report["trajectories"] = _traj_summary(traj, config)
+        report["trajectories"] = _traj_summary(
+            traj, config, bs if report_exact_causes else None)
         report["wall_s"] = {
             "prepare": round(t_prepare - t_start, 4),
             "trace": round(t_trace - t_prepare, 4),
@@ -230,7 +243,8 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
 
 
 def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
-                  chunked, checkpoint_path, wnmaps_path, report_path=None):
+                  chunked, checkpoint_path, wnmaps_path, report_path=None,
+                  report_exact_causes=False):
     """Ensemble sweep over a list of input wind files (BASELINE config 5).
 
     The fused path batches all members into one device program
@@ -290,7 +304,9 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
                           "nlat": int(members[0].nlat),
                           "time_varying": bool(members[0].fields.ndim == 4)}
         report["n_members"] = len(members)
-        report["members"] = [_traj_summary(t, config) for t in trajs]
+        report["members"] = [
+            _traj_summary(t, config, m if report_exact_causes else None)
+            for t, m in zip(trajs, members)]
         report["wall_s"] = {
             "prepare": round(t_prepare - t_start, 4),
             "trace": round(t_trace - t_prepare, 4),

@@ -374,6 +374,24 @@ def test_cli_run_report(tmp_path, jet_field):
     assert sum(counts.values()) == tsum["n_rays"]
     assert rep["wall_s"]["total"] >= rep["wall_s"]["trace"] > 0
 
+    # --report-exact: death causes from termination.classify. A tiny
+    # cut_off kills every born ray at its first output step by the
+    # haversine jump mask, and the exact re-run must label them 'jump'.
+    cfg_kill = dict(cfg, cut_off=1e-9)
+    with open(cfg_path, "w") as f:
+        json.dump(cfg_kill, f)
+    repk_path = str(tmp_path / "report_kill.json")
+    assert cli_main(["--config", cfg_path, "--report", repk_path,
+                     "--report-exact"]) == 0
+    with open(repk_path) as f:
+        repk = json.load(f)
+    tsk = repk["trajectories"]
+    assert tsk["termination_causes"] == "exact"
+    born = tsk["n_rays"] - tsk["termination"]["no_root"]
+    assert born > 0
+    assert tsk["termination"]["jump"] == born
+    assert tsk["termination"]["survived"] == 0
+
     # Ensemble report: per-member termination summaries.
     cfg["inputuv"] = [inp, inp]
     with open(cfg_path, "w") as f:
