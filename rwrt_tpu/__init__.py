@@ -20,6 +20,7 @@ __all__ = [
     "RunConfig",
     "BasicState",
     "prepare",
+    "prepare_time_varying",
     "regrid_to_uniform",
     "RayTrajectories",
     "source_matrix",
