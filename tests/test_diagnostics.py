@@ -64,6 +64,55 @@ def test_wavenumber_maps_consistent_with_pointwise(bs, jet_field):
             )
 
 
+def test_wavenumber_maps_golden_vs_reference_solve(bs, jet_field):
+    """Golden vs the reference: the fused grid-wide solve must reproduce the
+    reference's per-point algorithm (WN._solve_at_grid_point, wn.py:74-87)
+    executed with the reference's OWN cal_bs_mercator_point + cal_ky +
+    cal_ugvg as oracle. The reference's cal_wave never reaches the solve
+    (inverted None-check, wn.py:71-72), so the oracle runs the per-point body
+    directly, exactly as written: mwn slots from cal_ky (original-dialect
+    slot order), rootnum = real-root count, (ug, vg) per finite root and 0.0
+    for NaN slots (wn.py:84-87)."""
+    from refshim import load_reference
+
+    bs_mod, wn_mod, _ = load_reference()
+    u, v, lat, lon = jet_field
+    ref = make_reference_bs(u, v, lat, lon, xcyclic=True)
+
+    zwn = np.array([1.0, 3.0, 5.0])
+    maps = compute_wavenumber_maps(bs, zwn)
+    mwn = np.asarray(maps.mwn)
+    rootnum = np.asarray(maps.rootnum)
+    ug_map = np.asarray(maps.ug)
+    vg_map = np.asarray(maps.vg)
+
+    rng = np.random.default_rng(42)
+    pts = sorted({(int(rng.integers(0, len(lon))),
+                   int(rng.integers(2, len(lat) - 2)))
+                  for _ in range(24)})
+    for ix, iy in pts:
+        result = ref.cal_bs_mercator_point(ref.lon[ix], ref.lat[iy])
+        fmu, fmv = result[0], result[1]
+        fmqx, fmqy = result[6], result[7]
+        for k, kz in enumerate(zwn):
+            m_list, n_roots = bs_mod.cal_ky(fmu, fmv, fmqx, fmqy, 0.0, kz)
+            assert int(rootnum[ix, iy, k]) == int(n_roots), (ix, iy, kz)
+            np.testing.assert_allclose(
+                mwn[ix, iy, k], np.asarray(m_list, dtype=float),
+                rtol=1e-6, atol=1e-8, equal_nan=True,
+            )
+            for ir, m_val in enumerate(m_list):
+                if np.isnan(m_val):
+                    want_ug = want_vg = 0.0
+                else:
+                    want_ug, want_vg = wn_mod.cal_ugvg(
+                        fmu, fmv, fmqx, fmqy, kz, m_val)
+                np.testing.assert_allclose(
+                    ug_map[ix, iy, k, ir], want_ug, rtol=1e-6, atol=1e-8)
+                np.testing.assert_allclose(
+                    vg_map[ix, iy, k, ir], want_vg, rtol=1e-6, atol=1e-8)
+
+
 def test_turning_critical_masks(bs):
     masks = turning_critical_masks(bs, np.array([1.0, 20.0]))
     m = np.asarray(masks)
