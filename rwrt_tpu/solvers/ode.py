@@ -80,6 +80,66 @@ def _dp_step(f, t, y, h, k1):
     return y5, k7, err * h
 
 
+def solve_ivp_rk4(f: Callable, y0, *, t0=0.0, t_bound, dt):
+    """Fixed-step classical RK4 over [t0, t_bound] for a batch of lanes.
+
+    The general-purpose fixed-step driver the reference vendors alongside
+    its adaptive solver (``simple_rk4``, reference rkf45.py:729-769):
+    uniform steps of ``dt`` from ``t0``, with the final step clamped to
+    land exactly on ``t_bound``. ``f(t, y)``: t (n,) per-lane times,
+    y (d, n) -> (d, n), matching :func:`solve_ivp_batched`; pass y0 (d,)
+    for a single lane.
+
+    Returns ``(ys, ts)``: ys (nt, d[, n]) including the initial state,
+    ts (nt,) the step times (host-computed with the reference's exact
+    accumulation bookkeeping, so outputs are comparable bit-for-bit).
+    """
+    y0 = jnp.asarray(y0)
+    squeeze = y0.ndim == 1
+    if squeeze:
+        y0 = y0[:, None]
+    n = y0.shape[1]
+    dtype = y0.dtype
+
+    # Host-side time bookkeeping, mirroring the reference loop
+    # (rkf45.py:745-768): accumulated this_t/next_t, final step
+    # this_dt = dt - next_t + t_bound.
+    t0f, tbf, dtf = float(t0), float(t_bound), float(dt)
+    ts = [t0f]
+    stages = []  # (step start time, step size)
+    this_t, next_t = t0f, t0f + dtf
+    while this_t < tbf:
+        h = dtf
+        if next_t > tbf:
+            h = dtf - next_t + tbf
+            next_t = tbf
+        if h <= 0.0:
+            break
+        ts.append(next_t)
+        stages.append((this_t, h))
+        this_t += dtf
+        next_t += dtf
+
+    t_in = jnp.asarray([a for a, _ in stages], dtype)
+    h_in = jnp.asarray([b for _, b in stages], dtype)
+
+    def step(y, th):
+        t, h = th
+        tv = jnp.full(n, t, dtype)
+        k1 = f(tv, y)
+        k2 = f(tv + 0.5 * h, y + 0.5 * h * k1)
+        k3 = f(tv + 0.5 * h, y + 0.5 * h * k2)
+        k4 = f(tv + h, y + h * k3)
+        y_next = y + h / 6.0 * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        return y_next, y_next
+
+    _, ys_scan = lax.scan(step, y0, (t_in, h_in))
+    ys = jnp.concatenate([y0[None], ys_scan], axis=0)
+    if squeeze:
+        ys = ys[:, :, 0]
+    return ys, jnp.asarray(ts, dtype)
+
+
 def solve_ivp_batched(
     f: Callable,
     y0,

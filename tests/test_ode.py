@@ -117,3 +117,51 @@ def test_convergence_with_tolerance():
         errs.append(abs(float(sol.ys[0, 0, 0]) - exact))
     assert errs[2] < errs[1] < errs[0]
     assert errs[2] < 1e-9
+
+
+def test_rk4_fixed_golden_vs_reference_simple_rk4():
+    """Golden: solve_ivp_rk4 equals the reference's general-purpose
+    simple_rk4 (rkf45.py:729-769) on the Lorenz system, including the
+    clamped remainder final step and the accumulated time bookkeeping."""
+    from refshim import load_reference
+    from rwrt_tpu.solvers.ode import solve_ivp_rk4
+
+    load_reference()
+    import rkf45 as ref_rkf45
+
+    def lorenz_np(t, u, p=10.0, b=8.0 / 3.0, r=28.0):
+        x, y, z = u
+        return np.array([p * (y - x), x * (r - z) - y, x * y - b * z])
+
+    def lorenz_jnp(t, u):
+        x, y, z = u
+        return jnp.stack([10.0 * (y - x), x * (28.0 - z) - y,
+                          x * y - (8.0 / 3.0) * z])
+
+    y0 = np.array([[1.0], [1.0], [1.0]])
+    # dt chosen so (t_bound - t0) % dt != 0 -> exercises the clamped final
+    # step (reference rkf45.py:750-753).
+    t0, t_bound, dt = 0.0, 1.0, 0.03
+    want_ys, want_ts = ref_rkf45.simple_rk4(lorenz_np, t0, y0, t_bound, dt)
+    got_ys, got_ts = solve_ivp_rk4(lorenz_jnp, jnp.asarray(y0),
+                                   t0=t0, t_bound=t_bound, dt=dt)
+    np.testing.assert_allclose(np.asarray(got_ts), want_ts, rtol=0, atol=0)
+    assert got_ys.shape == want_ys.shape
+    np.testing.assert_allclose(np.asarray(got_ys), want_ys,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_rk4_fixed_squeeze_and_exact_division():
+    """(d,) input squeezes; exact-division grid lands on t_bound with no
+    remainder step; 4th-order accuracy on dy/dt = 2t (exact for RK4)."""
+    from rwrt_tpu.solvers.ode import solve_ivp_rk4
+
+    def f(t, y):
+        return jnp.broadcast_to(2.0 * t, y.shape)
+
+    ys, ts = solve_ivp_rk4(f, jnp.zeros(1, jnp.float64),
+                           t0=0.0, t_bound=2.0, dt=0.25)
+    assert ys.shape == (9, 1)
+    np.testing.assert_allclose(np.asarray(ts), np.arange(9) * 0.25)
+    np.testing.assert_allclose(np.asarray(ys)[:, 0],
+                               (np.arange(9) * 0.25) ** 2, atol=1e-13)
