@@ -41,3 +41,52 @@ def test_f32_trajectory_drift(jet_field, integrator):
     # alive/dead divergence should be modest
     frac = np.mean(np.isfinite(la64) != np.isfinite(la32))
     assert frac < 0.05, f"alive-mask divergence {frac:.3%}"
+
+
+def test_f32_trajectory_drift_30day(jet_field):
+    """f32 drift at the 30-day bench horizon (bench.py runs f32).
+
+    At 30 days ray chaos dominates: ANY ~1e-7 relative perturbation of a
+    ray near a jet shear zone grows exponentially (measured e-folding ~8
+    days on this field), so a whole-batch RMSE gate is not meaningful for
+    a precision comparison at this horizon — a minority of dynamically
+    divergent rays carries the RMSE to O(0.1-1 deg) while the TYPICAL ray
+    stays within ~0.02 deg (measured median). This test pins the honest
+    decomposition: tiny median drift, bounded alive-mask divergence, and
+    a sane bound on the day-10 RMSE before chaos takes over (matching
+    test_f32_trajectory_drift). Integrator-parity accuracy at 30 days is
+    gated in f64 against the reference in
+    test_trajectories.py::test_rk45_30day_north_star_gate."""
+    u, v, lat, lon = jet_field
+    bs64 = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    bs32 = rt.prepare(u, v, lat, lon, cal_dtype="float32")
+    cfg = dict(CFG, ttotal=30 * DAY)
+
+    t64 = rt.trace_rays(bs64, RunConfig(integrator="rk45",
+                                        cal_dtype="float64", **cfg))
+    t32 = rt.trace_rays(bs32, RunConfig(integrator="rk45",
+                                        cal_dtype="float32", **cfg))
+
+    la64, la32 = np.asarray(t64.lat), np.asarray(t32.lat)
+    lo64, lo32 = np.asarray(t64.lon), np.asarray(t32.lon)
+    both = np.isfinite(la64) & np.isfinite(la32)
+    assert both.sum() > 0.5 * np.isfinite(la64).sum()
+
+    dlat = la64 - la32
+    dlon = (lo64 - lo32 + np.pi) % (2 * np.pi) - np.pi
+    err = np.degrees(np.sqrt(dlat**2 + (dlon * np.cos(la64)) ** 2))
+    err = np.where(both, err, np.nan)
+
+    # Typical ray: median per-sample drift stays tiny even at 30 days.
+    med = float(np.nanmedian(err))
+    assert med < 0.05, f"30-day f32 median drift {med:.4f} deg"
+
+    # Before chaotic growth dominates (day 10 = the shorter test's horizon)
+    # the whole-batch RMSE is still inside the acceptance gate.
+    it10 = 10 * 12  # 2 h cadence
+    e10 = err[it10][np.isfinite(err[it10])]
+    rmse10 = float(np.sqrt(np.mean(e10**2)))
+    assert rmse10 < 0.1, f"day-10 f32 drift RMSE {rmse10:.4f} deg"
+
+    frac = np.mean(np.isfinite(la64) != np.isfinite(la32))
+    assert frac < 0.05, f"alive-mask divergence {frac:.3%}"

@@ -183,3 +183,26 @@ def test_interval_batch_invariance(jet_field, ours_bs):
                 rtol=0, atol=0, equal_nan=True,
                 err_msg=f"batch={batch} field={k}",
             )
+
+
+@pytest.mark.slow
+def test_rk45_30day_north_star_gate(jet_field, ours_bs):
+    """The BASELINE.md north-star accuracy gate at its own horizon: 30
+    model days, adaptive RK45, position RMSE vs the reference < 0.1 deg.
+
+    Both sides run float64 — the gate is an integrator-parity statement
+    and must be measured at matched precision; the f32 bench dtype's drift
+    at this horizon is quantified separately
+    (test_precision.py::test_f32_trajectory_drift_30day)."""
+    u, v, lat, lon = jet_field
+    case = dict(CASE, ttotal=30 * DAY)
+    ref = run_reference_wr(u, v, lat, lon, inte_method="rk45", **case)
+    cfg = RunConfig(
+        zwn=case["zwn"], sw_lon=case["sw_lon"], sw_lat=case["sw_lat"],
+        dlon=case["dlon"], dlat=case["dlat"], nnx=case["nnx"],
+        nny=case["nny"], tstep=case["tstep"], ttotal=case["ttotal"],
+        integrator="rk45", cal_dtype="float64",
+    )
+    traj = rt.trace_rays(ours_bs, cfg)
+    rmse, frac = _compare(ref, traj, rmse_deg_gate=0.1)
+    print(f"30-day RK45 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
