@@ -150,6 +150,7 @@ def solve_ivp_batched(
     atol=1e-6,
     first_step=None,
     min_step=None,
+    max_step=None,
     max_iters: int = 100_000,
 ) -> OdeSolution:
     """Integrate dy/dt = f(t, y) for a batch of independent lanes.
@@ -164,7 +165,9 @@ def solve_ivp_batched(
     times (> t0); integration steps to each bound exactly (clamped step,
     reference wr.py:808-830 semantics). min_step defaults to
     1e-3 * (t_eval[0] - t0) (the reference's Global_Minstep with its
-    default MinStepFactor, wr.py:794).
+    default MinStepFactor, wr.py:794); max_step (None = unbounded) caps the
+    attempted step like the reference's validated max_step
+    (rkf45.py:14-19, 343).
 
     Per-lane failure: a lane whose RHS goes non-finite at the step floor is
     frozen at NaN with status 1 (the batch continues -- the vector analogue
@@ -183,6 +186,9 @@ def solve_ivp_batched(
     if min_step is None:
         min_step = 1e-3 * (float(t_eval[0]) - float(t0))
     min_step = jnp.asarray(min_step, dtype)
+    if max_step is not None and float(max_step) <= 0.0:
+        raise ValueError("max_step must be positive")
+    max_step = jnp.asarray(jnp.inf if max_step is None else max_step, dtype)
 
     t = jnp.full(n, t0, dtype)
     k1 = f(t, y0)
@@ -208,7 +214,7 @@ def solve_ivp_batched(
         def body(st):
             y, t, h, k1, status, nfev, it, done = st
             active = ~done
-            h_step = jnp.clip(t_bound - t, 0.0, h)
+            h_step = jnp.clip(t_bound - t, 0.0, jnp.minimum(h, max_step))
             y5, k7, err = _dp_step(f, t, y, h_step, k1)
             scale = atol + jnp.maximum(jnp.abs(y), jnp.abs(y5)) * rtol
             err_norm = _rms_norm(err / scale)

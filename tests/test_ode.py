@@ -165,3 +165,28 @@ def test_rk4_fixed_squeeze_and_exact_division():
     np.testing.assert_allclose(np.asarray(ts), np.arange(9) * 0.25)
     np.testing.assert_allclose(np.asarray(ys)[:, 0],
                                (np.arange(9) * 0.25) ** 2, atol=1e-13)
+
+
+def test_max_step_caps_attempts():
+    """max_step bounds every attempted step (reference rkf45.py:14-19, 343:
+    validated max_step caps h_abs); a loose-tolerance run that would take
+    big steps must still sample densely enough to resolve fast forcing."""
+    from rwrt_tpu.solvers.ode import solve_ivp_batched
+
+    def f(t, y):
+        return jnp.broadcast_to(jnp.cos(50.0 * t), y.shape)
+
+    t_eval = np.linspace(1.0, 2.0, 3)
+    loose = solve_ivp_batched(f, jnp.zeros(1, jnp.float64), t_eval,
+                              rtol=1e-3, atol=1e-3)
+    capped = solve_ivp_batched(f, jnp.zeros(1, jnp.float64), t_eval,
+                               rtol=1e-3, atol=1e-3, max_step=0.01)
+    want = np.sin(50.0 * t_eval) / 50.0
+    err_loose = np.max(np.abs(np.asarray(loose.ys)[:, 0] - want))
+    err_capped = np.max(np.abs(np.asarray(capped.ys)[:, 0] - want))
+    assert err_capped < err_loose
+    assert err_capped < 1e-6
+    # capping forces more controller iterations
+    assert int(capped.iters) > int(loose.iters)
+    with pytest.raises(ValueError):
+        solve_ivp_batched(f, jnp.zeros(1), t_eval, max_step=-1.0)
