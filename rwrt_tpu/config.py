@@ -153,6 +153,14 @@ class RunConfig:
             raise ValueError("source latitude out of -90~90 range!")
         if self.tstep <= 0 or self.ttotal <= 0:
             raise ValueError("tstep and ttotal must be positive")
+        if len(self.zwn) == 0:
+            raise ValueError("zwn must name at least one zonal wavenumber")
+        if self.rtol <= 0 or self.atol <= 0:
+            raise ValueError("rtol and atol must be positive")
+        if self.interval_batch < 1:
+            raise ValueError("interval_batch must be >= 1")
+        if self.min_step_factor < 0 or self.cut_off < 0:
+            raise ValueError("min_step_factor and cut_off must be >= 0")
         if self.difficulty_buckets < 1:
             raise ValueError("difficulty_buckets must be >= 1")
         if self.bg_dt < 0:

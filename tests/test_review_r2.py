@@ -166,3 +166,21 @@ def _jet():
     u = 20 * np.cos(lat)[None, :] ** 2 + 0 * lon[:, None]
     v = 2 * np.sin(lon)[:, None] * np.cos(lat)[None, :]
     return u, v, lat, lon
+
+
+# ---------------------------------------------------------------------------
+# validate() rejects degenerate numeric settings
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("overrides,match", [
+    (dict(zwn=()), "zwn"),
+    (dict(rtol=0.0), "rtol"),
+    (dict(atol=-1e-6), "rtol and atol"),
+    (dict(interval_batch=0), "interval_batch"),
+    (dict(min_step_factor=-1.0), "min_step_factor"),
+    (dict(cut_off=-0.1), "cut_off"),
+])
+def test_validate_rejects_degenerate_settings(overrides, match):
+    cfg = RunConfig(**{**CFG, **overrides})
+    with pytest.raises(ValueError, match=match):
+        cfg.validate()
