@@ -44,11 +44,22 @@ def main(argv=None):
     # keys starting with "_" are comments (JSON has no comment syntax)
     raw = {k: v for k, v in raw.items() if not k.startswith("_")}
 
+    if "inputuv" not in raw:
+        ap.error(f"{args.config}: missing required key 'inputuv'")
     paths = RunPaths(
         inputuv=raw.pop("inputuv"),
         bsfile=raw.pop("bsfile", None),
         ncfile=raw.pop("ncfile", None),
     )
+    import dataclasses
+
+    valid = {f.name for f in dataclasses.fields(RunConfig)}
+    unknown = sorted(set(raw) - valid)
+    if unknown:
+        ap.error(
+            f"{args.config}: unknown config key(s) {unknown}; valid keys are "
+            f"inputuv/bsfile/ncfile and {sorted(valid)}"
+        )
     cfg = RunConfig(**raw)
 
     # mesh=True builds the mesh inside run() over cfg.mesh_devices devices.

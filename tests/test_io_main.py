@@ -403,3 +403,28 @@ def test_cli_run_report(tmp_path, jet_field):
     assert rep2["n_members"] == 2
     assert len(rep2["members"]) == 2
     assert rep2["members"][0]["termination"] == rep2["members"][1]["termination"]
+
+
+def test_cli_rejects_unknown_and_missing_config_keys(tmp_path):
+    """Typos in the JSON config fail with a clean argparse error naming the
+    bad key (exit code 2), not a raw TypeError."""
+    import json
+
+    import pytest
+
+    from rwrt_tpu.__main__ import main as cli_main
+
+    cfg = {"inputuv": "x.npz", "zwn": [3.0], "no_such_knob": 1}
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises(SystemExit) as e:
+        cli_main(["--config", p])
+    assert e.value.code == 2
+
+    del cfg["no_such_knob"], cfg["inputuv"]
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises(SystemExit) as e:
+        cli_main(["--config", p])
+    assert e.value.code == 2
