@@ -14,7 +14,13 @@ from rwrt_tpu.models.basic_state import (
     prepare_time_varying,
     regrid_to_uniform,
 )
-from rwrt_tpu.tracer import RayTrajectories, source_matrix, trace_rays
+from rwrt_tpu.tracer import (
+    RayTrajectories,
+    source_matrix,
+    trace_rays,
+    trace_rays_ensemble,
+)
+from rwrt_tpu.utils.checkpoint import trace_rays_chunked
 
 __all__ = [
     "RunConfig",
@@ -25,6 +31,8 @@ __all__ = [
     "RayTrajectories",
     "source_matrix",
     "trace_rays",
+    "trace_rays_ensemble",
+    "trace_rays_chunked",
 ]
 
 __version__ = "0.1.0"
