@@ -93,6 +93,19 @@ class RunConfig:
     # so their trajectories are reconstructed on host for free while the hot
     # loop shrinks by the rootless fraction.
     compact_rootless: bool = True
+    # Drop dead lanes from the device batch at chunk boundaries of the
+    # chunked driver (trace_rays_chunked). A lane whose EMITTED position has
+    # gone NaN was killed (|lat|, displacement, or wavenumber-runaway mask)
+    # and emits NaN at every remaining output bound in both integrators
+    # (reference terminate_ray semantics, bs.py:456-459), so dropping it is
+    # exact: its history rows are already the NaN prefill. The batch width
+    # shrinks along a power-of-two ladder (dead lanes pad to the next rung,
+    # so recompiles stay logarithmic in the death count); lanes frozen at a
+    # FINITE state (rootless lanes, amp-only NaN overflow) keep emitting
+    # that state and are never dropped. In a 90-day default run most rays
+    # die well before the end, so the late chunks run at a fraction of the
+    # seed width.
+    compact_dead: bool = True
     # Background handling.
     xcyclic: bool = True
     # Time-varying background (BASELINE.json config 4): when the input wind

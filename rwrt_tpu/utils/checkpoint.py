@@ -35,10 +35,11 @@ from rwrt_tpu.tracer import (
 from rwrt_tpu.utils.observability import Progress, run_banner
 
 
-def _save(path, step, y, t, h, hist):
+def _save(path, step, y, t, h, hist, lanes):
     tmp = path + ".tmp.npz"
     np.savez_compressed(
         tmp, step=step, y=np.asarray(y), t=np.asarray(t), h=np.asarray(h),
+        lanes=np.asarray(lanes),
         **{f"hist_{k}": v for k, v in hist.items()},
     )
     os.replace(tmp, path)
@@ -48,8 +49,9 @@ def _load(path):
     with np.load(path) as ds:
         step = int(ds["step"])
         y, t, h = ds["y"], ds["t"], ds["h"]
+        lanes = ds["lanes"] if "lanes" in ds.files else None
         hist = {k[5:]: ds[k] for k in ds.files if k.startswith("hist_")}
-    return step, y, t, h, hist
+    return step, y, t, h, hist, lanes
 
 
 def trace_rays_chunked(
@@ -66,6 +68,7 @@ def trace_rays_chunked(
     sort_rays: bool = False,
     initial_state=None,
     stream_dir: Optional[str] = None,
+    compact_min_width: int = 256,
 ) -> RayTrajectories:
     """Like tracer.trace_rays but chunked, with progress + checkpointing.
 
@@ -81,6 +84,9 @@ def trace_rays_chunked(
     chunk (a 90-day 100k-ray float32 run is ~3 GB of history). The returned
     trajectories are memmap-backed numpy arrays; convert with
     ``ncio.write_trajectories`` as usual or reopen the .npy files directly.
+
+    compact_min_width: floor of the dead-lane-compaction width ladder (see
+    RunConfig.compact_dead); widths below this are not worth a recompile.
     """
     config.validate()
     dtype = bs.fields.dtype
@@ -209,23 +215,59 @@ def trace_rays_chunked(
     start = 1
 
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
-        step, y_np, t_np, h_np, hist_l = _load(checkpoint_path)
+        step, y_np, t_np, h_np, hist_l, lanes_np = _load(checkpoint_path)
         start = step
-        if y_np.shape[-1] != n_lanes:
-            raise ValueError(
-                f"checkpoint lane count {y_np.shape[-1]} != {n_lanes}; the "
-                "checkpoint was written with a different compact_rootless "
-                "setting or source configuration"
-            )
-        # Checkpoints store lanes in canonical (sorted-by-ray) order so
-        # resume is independent of any in-run lane sorting; map back to the
-        # current lane order (compaction pads can make lane_to_ray
-        # non-monotonic).
-        rank = np.argsort(np.argsort(lane_to_ray))
-        y = jnp.take(jnp.asarray(y_np), jnp.asarray(rank), axis=1)
-        t = jnp.take(jnp.asarray(t_np), jnp.asarray(rank))
-        h = (jnp.take(jnp.asarray(h_np), jnp.asarray(rank))
-             if h_np.ndim else None)
+        if lanes_np is not None:
+            # Adopt the stored lane set and order outright: it may be a
+            # mid-run dead-lane-compaction SUBSET of the fresh map (every
+            # device op is elementwise along the lane axis, so lane order
+            # is free). Lanes are stored in canonical sorted-by-ray order.
+            lanes_np = np.asarray(lanes_np)
+            real = lanes_np[lanes_np < n_rays]
+            if not np.isin(real, lane_to_ray).all():
+                raise ValueError(
+                    "checkpoint lane map is not a subset of this run's "
+                    "lanes; the checkpoint was written with a different "
+                    "compact_rootless setting or source configuration"
+                )
+            if lanes_np.size and int(lanes_np.max()) >= hist_w:
+                raise ValueError(
+                    "checkpoint was written under a different mesh padding; "
+                    "resume with the same mesh configuration"
+                )
+            if mesh is not None and lanes_np.shape[0] % mesh.devices.size:
+                raise ValueError(
+                    f"checkpoint lane count {lanes_np.shape[0]} does not "
+                    f"divide over {mesh.devices.size} mesh devices; resume "
+                    "with the mesh it was written under"
+                )
+            lane_to_ray = lanes_np
+            n_lanes = lanes_np.shape[0]
+            y = jnp.asarray(y_np)
+            t = jnp.asarray(t_np)
+            h = jnp.asarray(h_np) if h_np.ndim else None
+            if mesh is not None:
+                from rwrt_tpu.parallel import sharding as _sh
+
+                y = _sh.shard_rays(y, mesh)
+                t = _sh.shard_rays(t, mesh)
+                if h is not None:
+                    h = _sh.shard_rays(h, mesh)
+        else:
+            # Legacy checkpoint without a lane map: full width, canonical
+            # (sorted-by-ray) order; map back to the current lane order
+            # (compaction pads can make lane_to_ray non-monotonic).
+            if y_np.shape[-1] != n_lanes:
+                raise ValueError(
+                    f"checkpoint lane count {y_np.shape[-1]} != {n_lanes}; "
+                    "the checkpoint was written with a different "
+                    "compact_rootless setting or source configuration"
+                )
+            rank = np.argsort(np.argsort(lane_to_ray))
+            y = jnp.take(jnp.asarray(y_np), jnp.asarray(rank), axis=1)
+            t = jnp.take(jnp.asarray(t_np), jnp.asarray(rank))
+            h = (jnp.take(jnp.asarray(h_np), jnp.asarray(rank))
+                 if h_np.ndim else None)
         # Streamed runs keep their history in the stream_dir memmaps (the
         # checkpoint then carries no hist_* arrays).
         for k in hist_l:
@@ -437,6 +479,7 @@ def trace_rays_chunked(
                 np.asarray(h)[inv] if h is not None else np.zeros(()),
                 # Streamed history is already durable in its own memmaps.
                 {} if stream_dir else {k: v[:step] for k, v in hist.items()},
+                lane_to_ray[inv],
             )
             if stream_dir:
                 for v in hist.values():
@@ -459,6 +502,49 @@ def trace_rays_chunked(
                 print(f"\nall {n_born} born rays terminated by output step "
                       f"{all_dead_at}; stopping early")
             break
+        if config.compact_dead and step < nt:
+            # Mid-run dead-lane compaction (exact; RunConfig.compact_dead):
+            # a lane whose last EMITTED position is NaN was killed and emits
+            # NaN at every remaining bound in both integrators, so it can
+            # leave the device batch -- its history rows are already the NaN
+            # prefill. Lanes frozen at a FINITE state (rootless, amp-only
+            # NaN) read as alive here and are never dropped. The width
+            # shrinks along a power-of-two ladder with dead lanes as filler,
+            # so each rung's program compiles once.
+            alive = np.isfinite(ys[-1, 0])
+            n_alive = int(alive.sum())
+            target = 1 << (max(n_alive, 1) - 1).bit_length()
+            target = max(target, compact_min_width)
+            if mesh is not None:
+                n_shards = mesh.devices.size
+                target = -(-target // n_shards) * n_shards
+            if target < n_lanes:
+                keep = np.flatnonzero(alive)
+                filler = np.flatnonzero(~alive)[: target - n_alive]
+                kept = np.sort(np.concatenate([keep, filler]))
+                take = jnp.asarray(kept)
+                lane_to_ray = lane_to_ray[kept]
+                n_lanes = int(kept.shape[0])
+
+                def _pick(a):
+                    arr = jnp.take(a, take, axis=-1)
+                    if mesh is not None:
+                        from rwrt_tpu.parallel import sharding as _sh
+
+                        arr = _sh.shard_rays(arr, mesh)
+                    return arr
+
+                y = _pick(y)
+                t = _pick(t)
+                h = _pick(h)
+                if config.integrator == "rk45":
+                    f_carry = _pick(f_carry)
+                    prev_lon = _pick(prev_lon)
+                    prev_lat = _pick(prev_lat)
+                    prev_att = _pick(prev_att)
+                if verbose:
+                    print(f"\ncompacted device batch to {n_lanes} lanes "
+                          f"({n_alive} alive)")
 
     nsource = source_lon.shape[0]
     out_shape = (nt, 3, nsource, len(config.zwn))
