@@ -172,6 +172,49 @@ def fit_spectral(bs_or_fields, *, m_max=None, l_max=None, lon=None, lat=None,
     )
 
 
+def fit_spectral_time(frames, *, m_max=None, l_max=None, lon=None, lat=None,
+                      xcyclic=False, dtype=None) -> SpectralBackground:
+    """Fit a time-varying stack: frames (T, nlon, nlat, C) -> coeffs
+    (T, Mp, L, C).
+
+    The transform is linear, so linear interpolation of coefficient frames
+    equals fitting linearly-interpolated fields — the same exactness argument
+    as the production time lerp (DESIGN.md section 4: every derived field is
+    linear in u, v). Use ``lerp_coeffs`` + ``sample_spectral`` to evaluate at
+    a model time shared by the batch (the fixed-step path); per-lane times
+    (the adaptive path) would need two evaluations and a per-lane blend.
+    """
+    if dtype is None:
+        dtype = np.asarray(frames).dtype
+    frames = np.asarray(frames, dtype=np.float64)
+    if frames.ndim != 4:
+        raise ValueError(f"frames must be (T, nlon, nlat, C); got "
+                         f"{frames.shape}")
+    fitted = [fit_spectral(frames[t], m_max=m_max, l_max=l_max, lon=lon,
+                           lat=lat, xcyclic=xcyclic, dtype=dtype)
+              for t in range(frames.shape[0])]
+    return SpectralBackground(
+        coeffs=jnp.stack([f.coeffs for f in fitted]),
+        lat0=fitted[0].lat0,
+    )
+
+
+def lerp_coeffs(sbg: SpectralBackground, tfrac) -> SpectralBackground:
+    """Linear time interpolation of a (T, Mp, L, C) coefficient stack at
+    fractional frame index ``tfrac`` (clamped to the frame range, matching
+    the production sampler's edge hold)."""
+    coeffs = sbg.coeffs
+    if coeffs.ndim != 4:
+        raise ValueError("lerp_coeffs needs a time-varying fit "
+                         "(fit_spectral_time)")
+    nt = coeffs.shape[0]
+    tfrac = jnp.clip(jnp.asarray(tfrac, coeffs.dtype), 0.0, nt - 1.0)
+    t0 = jnp.clip(jnp.floor(tfrac).astype(jnp.int32), 0, nt - 2)
+    w = tfrac - t0.astype(coeffs.dtype)
+    c = (1.0 - w) * coeffs[t0] + w * coeffs[t0 + 1]
+    return SpectralBackground(coeffs=c, lat0=sbg.lat0)
+
+
 def _basis_lon(lon: jnp.ndarray, m_max: int) -> jnp.ndarray:
     """(R, 2*m_max+1) rows [1, cos(1..M * lon), sin(1..M * lon)]."""
     one = jnp.ones_like(lon)[:, None]
@@ -188,21 +231,35 @@ def _basis_lat(lat: jnp.ndarray, lat0, l_max: int) -> jnp.ndarray:
     return jnp.cos((lat - lat0)[:, None] * larr[None, :])
 
 
-def sample_spectral(sbg: SpectralBackground, lon, lat) -> jnp.ndarray:
+def sample_spectral(sbg: SpectralBackground, lon, lat, *,
+                    matmul_dtype=None) -> jnp.ndarray:
     """Evaluate the spectral background at (lon, lat) points; returns (R, C).
 
     Same contract as ``ops.interp.sample_raw``: rows with |lat| > pi/2 are
     NaN (reference bs.py:787, 822-836); NaN positions (dead rays) propagate
     through the trig basis naturally. No lon wrap is needed — the basis is
     2*pi-periodic.
+
+    Args:
+      matmul_dtype: run the big lon-contraction in this dtype (bfloat16 for
+        full MXU rate on TPU) with accumulation in the coefficient dtype.
+        None = match the coefficient dtype. NaN lanes still propagate (bf16
+        keeps NaN through the cast).
     """
     coeffs = sbg.coeffs
     mp, l_max, c = coeffs.shape
-    blon = _basis_lon(lon, (mp - 1) // 2)  # (R, Mp)
-    blat = _basis_lat(lat, sbg.lat0, l_max)  # (R, L)
-    w = blon @ coeffs.reshape(mp, l_max * c)  # (R, L*C)  [MXU]
+    acc_dtype = coeffs.dtype
+    blon = _basis_lon(jnp.asarray(lon, acc_dtype), (mp - 1) // 2)  # (R, Mp)
+    blat = _basis_lat(jnp.asarray(lat, acc_dtype), sbg.lat0, l_max)  # (R, L)
+    dflat = coeffs.reshape(mp, l_max * c)
+    if matmul_dtype is not None:
+        blon = blon.astype(matmul_dtype)
+        dflat = dflat.astype(matmul_dtype)
+    w = jax.lax.dot_general(
+        blon, dflat, (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)  # (R, L*C)  [MXU]
     out = jnp.einsum("rl,rlc->rc", blat, w.reshape(-1, l_max, c))
-    in_range = jnp.abs(lat) <= 0.5 * pi
+    in_range = jnp.abs(jnp.asarray(lat, acc_dtype)) <= 0.5 * pi
     return jnp.where(in_range[:, None], out, jnp.nan)
 
 
@@ -220,14 +277,15 @@ def sample_mercator_spectral(sbg: SpectralBackground, lon, lat) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _spectral_kernel(lon_ref, lat_ref, dflat_ref, out_ref, *, m_max, l_max,
-                     num_fields, lat0):
+                     num_fields, lat0, acc_dtype):
     """One block of rays: build (BLK, Mp) / (BLK, L) basis tiles on the VPU,
     contract with the (Mp, L*C) coefficient matrix on the MXU, reduce the
     latitude axis with a static slice loop. Nothing touches HBM except the
-    block inputs/outputs that pallas_call streams."""
+    block inputs/outputs that pallas_call streams. dflat may be bfloat16
+    (matmul_dtype); accumulation is always acc_dtype."""
     lon = lon_ref[:]  # (BLK, 1)
     lat = lat_ref[:]  # (BLK, 1)
-    dtype = dflat_ref.dtype
+    dtype = acc_dtype
     one = jnp.ones_like(lon)
     if m_max > 0:
         marr = jax.lax.broadcasted_iota(dtype, (1, m_max), 1) + 1.0
@@ -235,7 +293,8 @@ def _spectral_kernel(lon_ref, lat_ref, dflat_ref, out_ref, *, m_max, l_max,
         blon = jnp.concatenate([one, jnp.cos(ang), jnp.sin(ang)], axis=1)
     else:
         blon = one
-    w = jnp.dot(blon, dflat_ref[:], preferred_element_type=dtype)  # (BLK, L*C)
+    w = jnp.dot(blon.astype(dflat_ref.dtype), dflat_ref[:],
+                preferred_element_type=dtype)  # (BLK, L*C)
     larr = jax.lax.broadcasted_iota(dtype, (1, l_max), 1)
     blat = jnp.cos((lat - lat0) * larr)  # (BLK, L)
     acc = blat[:, 0:1] * w[:, 0:num_fields]
@@ -247,6 +306,7 @@ def _spectral_kernel(lon_ref, lat_ref, dflat_ref, out_ref, *, m_max, l_max,
 
 def sample_spectral_pallas(sbg: SpectralBackground, lon, lat, *,
                            block_r: int = 256,
+                           matmul_dtype=None,
                            interpret: bool | None = None) -> jnp.ndarray:
     """Fused-kernel evaluation; numerically equal to ``sample_spectral`` up
     to contraction-order round-off (tests pin 1e-5 relative in f32, 1e-12 in
@@ -275,10 +335,12 @@ def sample_spectral_pallas(sbg: SpectralBackground, lon, lat, *,
     lon_p = jnp.zeros((r_pad, 1), dtype).at[:r, 0].set(lon)
     lat_p = jnp.zeros((r_pad, 1), dtype).at[:r, 0].set(lat)
     dflat = coeffs.reshape(mp, l_max * c)
+    if matmul_dtype is not None:
+        dflat = dflat.astype(matmul_dtype)
 
     kernel = lambda lo, la, d, o: _spectral_kernel(
         lo, la, d, o, m_max=m_max, l_max=l_max, num_fields=c,
-        lat0=float(sbg.lat0))
+        lat0=float(sbg.lat0), acc_dtype=dtype)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r_pad, c), dtype),

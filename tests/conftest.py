@@ -44,6 +44,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _bound_live_executables():
+    """Release compiled executables at every module boundary.
+
+    XLA:CPU's backend_compile segfaults deterministically once enough
+    compiled executables accumulate in one process (round-2 investigation,
+    docs/STATUS.md "Full-suite stability"): the crash site is whichever
+    large compile happens to cross the threshold, so it MOVES as test
+    modules are added (first test_shardmap's sharded chunked-resume
+    compile, later test_round2_fixes once test_compact_dead and the
+    spectral-sampler tests grew the suite). Clearing per module bounds the
+    live-executable count regardless of suite size; the recompile cost is
+    per-module programs only (modules rarely share jitted shapes).
+    """
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def jet_field():
     """Synthetic zonally-varying jet background used across golden tests."""

@@ -15,6 +15,8 @@ from rwrt_tpu.models import basic_state
 from rwrt_tpu.ops import interp
 from rwrt_tpu.ops.spectral_sample import (
     fit_spectral,
+    fit_spectral_time,
+    lerp_coeffs,
     sample_mercator_spectral,
     sample_spectral,
     sample_spectral_pallas,
@@ -219,6 +221,70 @@ def test_fit_validates_truncation_bounds():
         fit_spectral(fields, lon=lon, lat=lat, m_max=5)
     with pytest.raises(ValueError):
         fit_spectral(fields, lon=lon, lat=lat, l_max=0)
+
+
+def test_time_varying_fit_lerp_equals_fit_of_lerped_fields():
+    """Coefficient lerp == fitting lerped fields (the transform is linear) —
+    the same exactness argument as the production time lerp."""
+    rng = np.random.default_rng(9)
+    nlon, nlat, c, t = 16, 9, 2, 3
+    lon, lat = _grid(nlon, nlat)
+    frames = rng.normal(size=(t, nlon, nlat, c))
+    sbg_t = fit_spectral_time(frames, lon=lon, lat=lat, dtype=jnp.float64)
+    assert sbg_t.coeffs.ndim == 4 and sbg_t.coeffs.shape[0] == t
+
+    tfrac = 1.3
+    blended = (1 - 0.3) * frames[1] + 0.3 * frames[2]
+    direct = fit_spectral(blended, lon=lon, lat=lat, dtype=jnp.float64)
+    lerped = lerp_coeffs(sbg_t, tfrac)
+    np.testing.assert_allclose(np.asarray(lerped.coeffs),
+                               np.asarray(direct.coeffs), rtol=0, atol=1e-12)
+
+    plon = jnp.asarray(rng.uniform(0, 2 * np.pi, 100))
+    plat = jnp.asarray(rng.uniform(-1.4, 1.4, 100))
+    a = np.asarray(sample_spectral(lerped, plon, plat))
+    b = np.asarray(sample_spectral(direct, plon, plat))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    # Edge hold: tfrac clamps to the frame range.
+    lo = lerp_coeffs(sbg_t, -2.0)
+    np.testing.assert_allclose(np.asarray(lo.coeffs),
+                               np.asarray(sbg_t.coeffs[0]), rtol=0, atol=0)
+    hi = lerp_coeffs(sbg_t, 99.0)
+    np.testing.assert_allclose(np.asarray(hi.coeffs),
+                               np.asarray(sbg_t.coeffs[-1]), rtol=0, atol=0)
+
+
+def test_lerp_coeffs_rejects_static_fit():
+    lon, lat = _grid(8, 5)
+    sbg = fit_spectral(np.zeros((8, 5, 1)), lon=lon, lat=lat)
+    with pytest.raises(ValueError):
+        lerp_coeffs(sbg, 0.5)
+
+
+def test_bfloat16_matmul_option():
+    """bf16 contraction (full-rate MXU mode) stays within bf16 error of the
+    f32 result and keeps NaN propagation."""
+    rng = np.random.default_rng(10)
+    nlon, nlat = 24, 13
+    lon, lat = _grid(nlon, nlat)
+    fields = rng.normal(size=(nlon, nlat, 4)).astype(np.float32)
+    sbg = fit_spectral(fields, lon=lon, lat=lat)
+    plon = jnp.asarray(rng.uniform(0, 2 * np.pi, 300), jnp.float32)
+    plat = jnp.asarray(rng.uniform(-1.4, 1.4, 300), jnp.float32)
+    f32 = np.asarray(sample_spectral(sbg, plon, plat))
+    bf = np.asarray(sample_spectral(sbg, plon, plat,
+                                    matmul_dtype=jnp.bfloat16))
+    scale = np.abs(f32).max()
+    assert np.abs(bf - f32).max() / scale < 0.03  # bf16 has ~8 mantissa bits
+    bfp = np.asarray(sample_spectral_pallas(sbg, plon, plat,
+                                            matmul_dtype=jnp.bfloat16,
+                                            interpret=True))
+    assert np.abs(bfp - f32).max() / scale < 0.03
+    # NaN lanes still propagate through the bf16 cast.
+    out = np.asarray(sample_spectral(
+        sbg, jnp.asarray([jnp.nan], jnp.float32),
+        jnp.asarray([0.1], jnp.float32), matmul_dtype=jnp.bfloat16))
+    assert np.isnan(out).all()
 
 
 def test_float32_coefficients_for_production_dtype():
