@@ -115,11 +115,20 @@ def fit_spectral(bs_or_fields, *, m_max=None, l_max=None, lon=None, lat=None,
         lat = np.asarray(bs.lat, dtype=np.float64)
         if dtype is None:
             dtype = bs.fields.dtype
+        if fields.ndim == 4:
+            # Time-varying BasicState (prepare_time_varying): (T, W, H, C)
+            # frames — fit each frame (the wrap column is per-frame).
+            return fit_spectral_time(fields, m_max=m_max, l_max=l_max,
+                                     lon=lon, lat=lat, xcyclic=xcyclic,
+                                     dtype=dtype)
     else:
         fields = np.asarray(bs_or_fields, dtype=np.float64)
         if dtype is None:
             dtype = np.asarray(bs_or_fields).dtype
         xcyclic = bool(xcyclic) if xcyclic is not None else False
+        if fields.ndim == 4:
+            raise ValueError("4-D stacks are time-varying; use "
+                             "fit_spectral_time (or pass a BasicState)")
     if fields.ndim == 2:
         fields = fields[..., None]
     if xcyclic:

@@ -254,6 +254,27 @@ def test_time_varying_fit_lerp_equals_fit_of_lerped_fields():
                                np.asarray(sbg_t.coeffs[-1]), rtol=0, atol=0)
 
 
+def test_fit_spectral_routes_time_varying_basic_state():
+    """fit_spectral on a time-varying BasicState fits per-frame (it must NOT
+    treat the time axis as longitude/wrap)."""
+    rng = np.random.default_rng(11)
+    t, nlon, nlat = 3, 16, 9
+    u = rng.normal(size=(t, nlon, nlat)) + 10.0
+    v = rng.normal(size=(t, nlon, nlat))
+    bs = basic_state.prepare_time_varying(u, v, bg_t0=0.0, bg_dt=3600.0,
+                                          cal_dtype=jnp.float64)
+    sbg = fit_spectral(bs)
+    assert sbg.coeffs.ndim == 4 and sbg.coeffs.shape[0] == t
+    # Frame 1 coefficients == fitting frame 1's stack directly.
+    direct = fit_spectral(np.asarray(bs.fields[1]), xcyclic=True,
+                          dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(sbg.coeffs[1]),
+                               np.asarray(direct.coeffs), rtol=0, atol=1e-12)
+    # Raw 4-D arrays must be explicit.
+    with pytest.raises(ValueError):
+        fit_spectral(np.zeros((2, 8, 5, 1)))
+
+
 def test_lerp_coeffs_rejects_static_fit():
     lon, lat = _grid(8, 5)
     sbg = fit_spectral(np.zeros((8, 5, 1)), lon=lon, lat=lat)
