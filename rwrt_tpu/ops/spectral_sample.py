@@ -76,15 +76,17 @@ class SpectralBackground(NamedTuple):
 
     @property
     def m_max(self) -> int:
-        return (self.coeffs.shape[0] - 1) // 2
+        # Trailing axes so the properties stay correct on the (T, Mp, L, C)
+        # stacks returned by fit_spectral_time.
+        return (self.coeffs.shape[-3] - 1) // 2
 
     @property
     def l_max(self) -> int:
-        return self.coeffs.shape[1]
+        return self.coeffs.shape[-2]
 
     @property
     def num_fields(self) -> int:
-        return self.coeffs.shape[2]
+        return self.coeffs.shape[-1]
 
 
 def fit_spectral(bs_or_fields, *, m_max=None, l_max=None, lon=None, lat=None,
@@ -155,9 +157,12 @@ def fit_spectral(bs_or_fields, *, m_max=None, l_max=None, lon=None, lat=None,
     b = -2.0 * X.imag
     a[0] *= 0.5
     if n % 2 == 0:
-        # Nyquist column: cos-only, no doubling (its conjugate pair is itself).
+        # Nyquist column: no doubling (its conjugate pair is itself). The
+        # phase fold by lon0 rotates the (real) raw Nyquist coefficient into
+        # the sin component, so b keeps its (halved) imaginary part too —
+        # zeroing it breaks grid-point exactness on cell-centered grids.
         a[n // 2] *= 0.5
-        b[n // 2] = 0.0
+        b[n // 2] *= 0.5
 
     rows = np.concatenate([a[: m_max + 1], b[1: m_max + 1]], axis=0)
 
@@ -285,15 +290,18 @@ def sample_mercator_spectral(sbg: SpectralBackground, lon, lat) -> jnp.ndarray:
 # Fused Pallas kernel: basis tiles generated in VMEM, contraction on the MXU.
 # ---------------------------------------------------------------------------
 
-def _spectral_kernel(lon_ref, lat_ref, dflat_ref, out_ref, *, m_max, l_max,
-                     num_fields, lat0, acc_dtype):
+def _spectral_kernel(lon_ref, lat_ref, tht_ref, dflat_ref, out_ref, *, m_max,
+                     l_max, num_fields, acc_dtype):
     """One block of rays: build (BLK, Mp) / (BLK, L) basis tiles on the VPU,
     contract with the (Mp, L*C) coefficient matrix on the MXU, reduce the
     latitude axis with a static slice loop. Nothing touches HBM except the
-    block inputs/outputs that pallas_call streams. dflat may be bfloat16
-    (matmul_dtype); accumulation is always acc_dtype."""
+    block inputs/outputs that pallas_call streams. tht is the precomputed
+    latitude basis argument lat - lat0 (lat0 may be a traced value, so it is
+    folded in outside the kernel rather than baked in as a constant). dflat
+    may be bfloat16 (matmul_dtype); accumulation is always acc_dtype."""
     lon = lon_ref[:]  # (BLK, 1)
     lat = lat_ref[:]  # (BLK, 1)
+    tht = tht_ref[:]  # (BLK, 1)
     dtype = acc_dtype
     one = jnp.ones_like(lon)
     if m_max > 0:
@@ -305,7 +313,7 @@ def _spectral_kernel(lon_ref, lat_ref, dflat_ref, out_ref, *, m_max, l_max,
     w = jnp.dot(blon.astype(dflat_ref.dtype), dflat_ref[:],
                 preferred_element_type=dtype)  # (BLK, L*C)
     larr = jax.lax.broadcasted_iota(dtype, (1, l_max), 1)
-    blat = jnp.cos((lat - lat0) * larr)  # (BLK, L)
+    blat = jnp.cos(tht * larr)  # (BLK, L)
     acc = blat[:, 0:1] * w[:, 0:num_fields]
     for l in range(1, l_max):
         acc = acc + blat[:, l:l + 1] * w[:, l * num_fields:(l + 1) * num_fields]
@@ -343,13 +351,14 @@ def sample_spectral_pallas(sbg: SpectralBackground, lon, lat, *,
     r_pad = n_blk * block_r
     lon_p = jnp.zeros((r_pad, 1), dtype).at[:r, 0].set(lon)
     lat_p = jnp.zeros((r_pad, 1), dtype).at[:r, 0].set(lat)
+    tht_p = lat_p - jnp.asarray(sbg.lat0, dtype)
     dflat = coeffs.reshape(mp, l_max * c)
     if matmul_dtype is not None:
         dflat = dflat.astype(matmul_dtype)
 
-    kernel = lambda lo, la, d, o: _spectral_kernel(
-        lo, la, d, o, m_max=m_max, l_max=l_max, num_fields=c,
-        lat0=float(sbg.lat0), acc_dtype=dtype)
+    kernel = lambda lo, la, th, d, o: _spectral_kernel(
+        lo, la, th, d, o, m_max=m_max, l_max=l_max, num_fields=c,
+        acc_dtype=dtype)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r_pad, c), dtype),
@@ -357,9 +366,10 @@ def sample_spectral_pallas(sbg: SpectralBackground, lon, lat, *,
         in_specs=[
             pl.BlockSpec((block_r, 1), lambda i: (i, 0)),
             pl.BlockSpec((block_r, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i: (i, 0)),
             pl.BlockSpec((mp, l_max * c), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block_r, c), lambda i: (i, 0)),
         interpret=interpret,
-    )(lon_p, lat_p, dflat)
+    )(lon_p, lat_p, tht_p, dflat)
     return out[:r]

@@ -35,11 +35,11 @@ from rwrt_tpu.tracer import (
 from rwrt_tpu.utils.observability import Progress, run_banner
 
 
-def _save(path, step, y, t, h, hist, lanes):
+def _save(path, step, y, t, h, hist, lanes, n_rays):
     tmp = path + ".tmp.npz"
     np.savez_compressed(
         tmp, step=step, y=np.asarray(y), t=np.asarray(t), h=np.asarray(h),
-        lanes=np.asarray(lanes),
+        lanes=np.asarray(lanes), n_rays=n_rays,
         **{f"hist_{k}": v for k, v in hist.items()},
     )
     os.replace(tmp, path)
@@ -50,8 +50,9 @@ def _load(path):
         step = int(ds["step"])
         y, t, h = ds["y"], ds["t"], ds["h"]
         lanes = ds["lanes"] if "lanes" in ds.files else None
+        n_rays = int(ds["n_rays"]) if "n_rays" in ds.files else None
         hist = {k[5:]: ds[k] for k in ds.files if k.startswith("hist_")}
-    return step, y, t, h, hist, lanes
+    return step, y, t, h, hist, lanes, n_rays
 
 
 def trace_rays_chunked(
@@ -215,14 +216,29 @@ def trace_rays_chunked(
     start = 1
 
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
-        step, y_np, t_np, h_np, hist_l, lanes_np = _load(checkpoint_path)
+        step, y_np, t_np, h_np, hist_l, lanes_np, n_rays_ck = _load(
+            checkpoint_path)
         start = step
         if lanes_np is not None:
             # Adopt the stored lane set and order outright: it may be a
             # mid-run dead-lane-compaction SUBSET of the fresh map (every
             # device op is elementwise along the lane axis, so lane order
             # is free). Lanes are stored in canonical sorted-by-ray order.
+            # The subset check alone cannot tell a compaction subset from a
+            # checkpoint written under a SMALLER source configuration (whose
+            # lane ids name different rays here), so the total ray count is
+            # stored alongside and must match exactly.
             lanes_np = np.asarray(lanes_np)
+            if n_rays_ck is not None and n_rays_ck != n_rays:
+                raise ValueError(
+                    f"checkpoint was written for {n_rays_ck} rays but this "
+                    f"run has {n_rays}; the source configuration differs"
+                )
+            if y_np.shape[-1] != lanes_np.shape[0]:
+                raise ValueError(
+                    f"corrupt checkpoint: state width {y_np.shape[-1]} != "
+                    f"lane-map width {lanes_np.shape[0]}"
+                )
             real = lanes_np[lanes_np < n_rays]
             if not np.isin(real, lane_to_ray).all():
                 raise ValueError(
@@ -479,7 +495,7 @@ def trace_rays_chunked(
                 np.asarray(h)[inv] if h is not None else np.zeros(()),
                 # Streamed history is already durable in its own memmaps.
                 {} if stream_dir else {k: v[:step] for k, v in hist.items()},
-                lane_to_ray[inv],
+                lane_to_ray[inv], n_rays,
             )
             if stream_dir:
                 for v in hist.values():

@@ -122,3 +122,18 @@ def test_rootless_lanes_survive_compaction(bs):
     compacted = trace_rays_chunked(bs, cfg, chunk_steps=12, verbose=False,
                                    compact_min_width=16)
     _assert_bitwise(plain, compacted)
+
+
+def test_checkpoint_from_different_source_config_rejected(bs, tmp_path):
+    """A lane-map checkpoint records the run's total ray count: a checkpoint
+    written under a SMALLER source configuration passes the subset check by
+    accident (its lane ids all exist here but name different rays), so the
+    count must be compared, not the id set."""
+    ck = str(tmp_path / "ck.npz")
+    small = RunConfig(integrator="rk45", **{**CFG, "nny": 2})
+    trace_rays_chunked(bs, small, chunk_steps=12, verbose=False,
+                       checkpoint_path=ck)
+    big = RunConfig(integrator="rk45", **CFG)
+    with pytest.raises(ValueError, match="source configuration differs"):
+        trace_rays_chunked(bs, big, chunk_steps=12, verbose=False,
+                           checkpoint_path=ck)

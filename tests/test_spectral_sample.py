@@ -320,3 +320,60 @@ def test_float32_coefficients_for_production_dtype():
     a = np.asarray(sample_spectral(sbg, plon, plat))
     b = np.asarray(sample_spectral_pallas(sbg, plon, plat, interpret=True))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_cell_centered_grid_exact_even_nlon():
+    """Grid-point exactness holds when lon[0] != 0 (cell-centered grid).
+
+    The lon0 phase fold rotates the raw (real) Nyquist coefficient into the
+    sin component; dropping it (the original b[n//2]=0) cost O(1) grid-point
+    error on offset grids with even nlon.
+    """
+    rng = np.random.default_rng(11)
+    nlon, nlat = 8, 7
+    dx = 2 * np.pi / nlon
+    lon = dx / 2 + np.arange(nlon) * dx
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    fields = rng.normal(size=(nlon, nlat, 2))
+    sbg = fit_spectral(fields, lon=lon, lat=lat, dtype=jnp.float64)
+    glon, glat = np.meshgrid(lon, lat, indexing="ij")
+    out = sample_spectral(sbg, jnp.asarray(glon.ravel()),
+                          jnp.asarray(glat.ravel()))
+    assert np.abs(np.asarray(out).reshape(nlon, nlat, 2) - fields).max() < 1e-11
+
+
+def test_pallas_sampler_under_jit():
+    """The fused kernel is jittable with a traced SpectralBackground (lat0
+    must not be baked in as a Python float): the documented time-varying
+    flow jits lerp_coeffs + sampler in one step function."""
+    rng = np.random.default_rng(12)
+    nlon, nlat = 16, 9
+    lon, lat = _grid(nlon, nlat)
+    frames = rng.normal(size=(2, nlon, nlat, 2))
+    sbg_t = fit_spectral_time(frames, lon=lon, lat=lat, dtype=np.float64)
+    plon = jnp.asarray(rng.uniform(0, 2 * np.pi, 40))
+    plat = jnp.asarray(rng.uniform(-1.3, 1.3, 40))
+
+    @jax.jit
+    def step(sbg_t, tfrac, plon, plat):
+        sbg = lerp_coeffs(sbg_t, tfrac)
+        return sample_spectral_pallas(sbg, plon, plat, interpret=True)
+
+    out = np.asarray(step(sbg_t, 0.25, plon, plat))
+    ref = np.asarray(sample_spectral(lerp_coeffs(sbg_t, 0.25), plon, plat))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_time_varying_fit_properties():
+    """m_max/l_max/num_fields read the trailing axes, so they are correct on
+    the (T, Mp, L, C) stacks of fit_spectral_time too."""
+    rng = np.random.default_rng(13)
+    nlon, nlat = 16, 9
+    lon, lat = _grid(nlon, nlat)
+    frames = rng.normal(size=(3, nlon, nlat, 4))
+    sbg_t = fit_spectral_time(frames, m_max=5, l_max=7, lon=lon, lat=lat)
+    assert sbg_t.m_max == 5
+    assert sbg_t.l_max == 7
+    assert sbg_t.num_fields == 4
+    sbg = fit_spectral(frames[0], m_max=5, l_max=7, lon=lon, lat=lat)
+    assert (sbg.m_max, sbg.l_max, sbg.num_fields) == (5, 7, 4)
