@@ -40,10 +40,12 @@ class WavenumberMaps(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _compute(fields, lon0, lat0, dx, dy, glon, glat, zwn, freq):
-    nlon, nlat = glon.shape[0], glat.shape[0]
-    lon_pts = jnp.repeat(glon, nlat)
-    lat_pts = jnp.tile(glat, nlon)
+def _compute_points(fields, lon0, lat0, dx, dy, lon_pts, lat_pts, zwn, freq):
+    """Flat per-point solve: (npts,) positions -> (npts, nzwn, 3) products.
+
+    Every op is elementwise along the point axis, so under a mesh the point
+    axis shards with no collectives (pure GSPMD partitioning; there is no
+    while_loop here, unlike the adaptive integrator)."""
     f = interp.sample_mercator(fields, lon0, lat0, dx, dy, lon_pts, lat_pts)
     fmu, fmv = f[interp.M_U], f[interp.M_V]
     fmqx, fmqy = f[interp.M_QX], f[interp.M_QY]
@@ -62,26 +64,51 @@ def _compute(fields, lon0, lat0, dx, dy, glon, glat, zwn, freq):
     dead = jnp.isnan(roots)
     ug = jnp.where(dead, 0.0, ug)
     vg = jnp.where(dead, 0.0, vg)
-
-    shape4 = (nlon, nlat, zwn.shape[0], 3)
-    return (
-        roots.reshape(shape4),
-        count.reshape(nlon, nlat, zwn.shape[0]),
-        ug.reshape(shape4),
-        vg.reshape(shape4),
-    )
+    return roots, count, ug, vg
 
 
-def compute_wavenumber_maps(bs: BasicState, zwn, freq: float = 0.0) -> WavenumberMaps:
-    """Solve the dispersion relation at EVERY grid point x zonal wavenumber."""
+def compute_wavenumber_maps(bs: BasicState, zwn, freq: float = 0.0, *,
+                            mesh=None) -> WavenumberMaps:
+    """Solve the dispersion relation at EVERY grid point x zonal wavenumber.
+
+    mesh: optional ``jax.sharding.Mesh`` -- the flattened grid-point axis is
+    sharded across its devices (background replicated, point axis padded to
+    a multiple of the device count with NaN points); results are identical
+    to the single-device solve up to codegen ULP wobble. The per-point work
+    has no cross-point dependencies, so the compiled program contains no
+    collectives (the implicit gather happens only when results are fetched).
+    """
     dtype = bs.fields.dtype
-    mwn, rootnum, ug, vg = _compute(
-        bs.fields, bs.lon[0].astype(dtype), bs.lat[0].astype(dtype),
+    nlon, nlat = bs.lon.shape[0], bs.lat.shape[0]
+    lon_pts = jnp.repeat(bs.lon.astype(dtype), nlat)
+    lat_pts = jnp.tile(bs.lat.astype(dtype), nlon)
+    scalars = (
+        bs.lon[0].astype(dtype), bs.lat[0].astype(dtype),
         jnp.asarray(bs.dx, dtype), jnp.asarray(bs.dy, dtype),
-        bs.lon.astype(dtype), bs.lat.astype(dtype),
-        jnp.asarray(zwn, dtype), jnp.asarray(freq, dtype),
     )
-    return WavenumberMaps(mwn=mwn, rootnum=rootnum, ug=ug, vg=vg)
+    zwn_d = jnp.asarray(zwn, dtype)
+    freq_d = jnp.asarray(freq, dtype)
+    npts = lon_pts.shape[0]
+    fields = bs.fields
+    if mesh is not None:
+        from rwrt_tpu.parallel import sharding as sh
+
+        n_shards = mesh.devices.size
+        lon_pts, _ = sh.pad_rays(lon_pts, n_shards)
+        lat_pts, _ = sh.pad_rays(lat_pts, n_shards)
+        lon_pts = sh.shard_rays(lon_pts, mesh)
+        lat_pts = sh.shard_rays(lat_pts, mesh)
+        fields, scalars, zwn_d, freq_d = sh.replicate(
+            (fields, scalars, zwn_d, freq_d), mesh)
+    roots, count, ug, vg = _compute_points(
+        fields, *scalars, lon_pts, lat_pts, zwn_d, freq_d)
+    shape4 = (nlon, nlat, len(zwn), 3)
+    return WavenumberMaps(
+        mwn=roots[:npts].reshape(shape4),
+        rootnum=count[:npts].reshape(shape4[:3]),
+        ug=ug[:npts].reshape(shape4),
+        vg=vg[:npts].reshape(shape4),
+    )
 
 
 def fill_nan_neighborhood_mean(arr: jnp.ndarray, size: int = 3) -> jnp.ndarray:

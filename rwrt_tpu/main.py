@@ -222,7 +222,7 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
                 "prepare() instead of a time-varying run"
             )
         zwn = np.asarray(config.zwn_array())
-        maps = compute_wavenumber_maps(bs, zwn, freq=config.freq)
+        maps = compute_wavenumber_maps(bs, zwn, freq=config.freq, mesh=mesh)
         ncio.write_wavenumber_maps(maps, bs, zwn, wnmaps_path)
         if verbose:
             print(f"wrote wavenumber maps to {wnmaps_path}")

@@ -209,3 +209,20 @@ def test_gspmd_barrier_loop_would_collectivize(bs):
     txt = (jax.jit(run).lower(bg, y0, dt, cut_off, rtol, atol, min_step)
            .compile().as_text().lower())
     assert any(op in txt for op in COLLECTIVE_OPS)
+
+
+def test_wavenumber_maps_under_mesh(bs):
+    """Grid-wide wavenumber maps shard the flattened grid-point axis over
+    the mesh: identical NaN masks, values to codegen ULP wobble, and the
+    grid of 46*24 points (not divisible by 8) exercises the NaN padding."""
+    from rwrt_tpu.diagnostics.wavenumber import compute_wavenumber_maps
+
+    zwn = (2.0, 4.0, 6.0)
+    single = compute_wavenumber_maps(bs, zwn)
+    sharded = compute_wavenumber_maps(bs, zwn, mesh=sh.make_mesh(8))
+    for k in ("mwn", "rootnum", "ug", "vg"):
+        a, b = np.asarray(getattr(single, k)), np.asarray(getattr(sharded, k))
+        assert a.shape == b.shape, k
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b), err_msg=k)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-9,
+                                   equal_nan=True, err_msg=k)
