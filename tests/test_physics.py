@@ -134,3 +134,44 @@ def test_rays_conserve_zonal_wavenumber_in_zonal_flow(superrotation_bs):
         vals = kx[:, :, 0, z]
         vals = vals[np.isfinite(vals)]
         np.testing.assert_allclose(vals, k0, rtol=1e-4)
+
+
+def test_critical_latitude_absorption():
+    """Critical-line absorption (Hoskins & Ambrizzi 1993): in u = U0*sin(lat)
+    the zonal wind vanishes at the equator, so Ks -> inf there and an
+    equatorward stationary ray must asymptote to the critical latitude
+    WITHOUT crossing it, its meridional wavenumber growing without bound and
+    its meridional group velocity collapsing (absorbed, not transmitted)."""
+    nlon, nlat = 96, 49
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon = np.arange(nlon) * 2 * np.pi / nlon
+    u = 20.0 * np.sin(lat)[None, :] * np.ones((nlon, 1))
+    v = np.zeros((nlon, nlat))
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+
+    cfg = RunConfig(
+        zwn=(4.0,), sw_lon=0.0, sw_lat=40.0, dlon=1.0, dlat=1.0, nnx=1,
+        nny=1, tstep=2 * HOUR, ttotal=40 * DAY, integrator="rk45",
+        cal_dtype="float64",
+    )
+    traj = rt.trace_rays(bs, cfg)
+    latd = np.degrees(np.asarray(traj.lat))[:, :, 0, 0]
+    ky = np.asarray(traj.ky)[:, :, 0, 0]
+    vg = np.asarray(traj.vg)[:, :, 0, 0]
+
+    checked = 0
+    for r in range(3):
+        if not np.isfinite(ky[0, r]) or abs(ky[0, r]) < 1e-6:
+            continue
+        fin = np.isfinite(latd[:, r])
+        assert fin[0]
+        # Never crosses the critical latitude (the equator).
+        assert np.nanmin(latd[:, r]) > 0.0
+        # Absorbed: |ky| grows without bound as the ray stalls...
+        last = np.flatnonzero(fin)[-1]
+        assert abs(ky[last, r]) > 5.0 * abs(ky[0, r])
+        # ...and the meridional group velocity collapses.
+        assert abs(vg[last, r]) < 0.2 * abs(vg[0, r])
+        checked += 1
+    # Both non-zero roots (equatorward, and poleward-reflected-back) count.
+    assert checked == 2
