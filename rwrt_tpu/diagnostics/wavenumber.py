@@ -77,7 +77,20 @@ def compute_wavenumber_maps(bs: BasicState, zwn, freq: float = 0.0, *,
     to the single-device solve up to codegen ULP wobble. The per-point work
     has no cross-point dependencies, so the compiled program contains no
     collectives (the implicit gather happens only when results are fetched).
+
+    A time-varying BasicState (4-D field stack, prepare_time_varying) maps
+    frame by frame: every product gains a leading time axis of length T.
+    The reference WN class is static-only (wn.py:21-46).
     """
+    if bs.fields.ndim == 4:
+        frames = [
+            compute_wavenumber_maps(
+                bs._replace(fields=bs.fields[ti], betam=bs.betam[ti],
+                            ks=bs.ks[ti], q=bs.q[ti]),
+                zwn, freq, mesh=mesh)
+            for ti in range(bs.fields.shape[0])
+        ]
+        return WavenumberMaps(*(jnp.stack(x) for x in zip(*frames)))
     dtype = bs.fields.dtype
     nlon, nlat = bs.lon.shape[0], bs.lat.shape[0]
     lon_pts = jnp.repeat(bs.lon.astype(dtype), nlat)

@@ -277,7 +277,10 @@ def load_trajectories(path: str) -> Dict[str, np.ndarray]:
 def write_wavenumber_maps(maps, bs, zwn, path: str) -> None:
     """Write the grid-wide wavenumber diagnostics (diagnostics/wavenumber.py)
     -- the Hoskins & Ambrizzi-style stationary/non-stationary wavenumber map
-    product the reference's WN class was built for (reference wn.py:21-46)."""
+    product the reference's WN class was built for (reference wn.py:21-46).
+
+    Time-varying products (5-D mwn from a 4-D BasicState) gain a leading
+    'time' dimension with coordinates bg_t0 + i*bg_dt (seconds)."""
     data = {
         "mwn": np.asarray(maps.mwn),
         "rootnum": np.asarray(maps.rootnum),
@@ -287,6 +290,10 @@ def write_wavenumber_maps(maps, bs, zwn, path: str) -> None:
     }
     lon_deg = np.asarray(bs.lon) * rad2deg
     lat_deg = np.asarray(bs.lat) * rad2deg
+    time_varying = data["mwn"].ndim == 5
+    if time_varying:
+        data["time"] = (bs.bg_t0
+                        + np.arange(data["mwn"].shape[0]) * bs.bg_dt)
     if _is_npz(path) or not HAVE_NETCDF:
         if not _is_npz(path):
             path = str(path) + ".npz"
@@ -294,7 +301,14 @@ def write_wavenumber_maps(maps, bs, zwn, path: str) -> None:
                             zwn=np.asarray(zwn), **data)
         return
     with _nc.Dataset(path, "w", format="NETCDF4") as ds:  # pragma: no cover
-        nlon, nlat, nzwn, nroot = data["mwn"].shape
+        nlon, nlat, nzwn, nroot = data["mwn"].shape[-4:]
+        grid_dims = ("lon", "lat", "zwn")
+        if time_varying:
+            ds.createDimension("time", data["mwn"].shape[0])
+            tv = ds.createVariable("time", "f8", ("time",))
+            tv[:] = data["time"]
+            tv.units = "seconds"
+            grid_dims = ("time",) + grid_dims
         for name, n in (("lon", nlon), ("lat", nlat), ("zwn", nzwn),
                         ("root", nroot)):
             ds.createDimension(name, n)
@@ -302,9 +316,9 @@ def write_wavenumber_maps(maps, bs, zwn, path: str) -> None:
         ds.createVariable("lat", "f8", ("lat",))[:] = lat_deg
         ds.createVariable("zwn", "f8", ("zwn",))[:] = np.asarray(zwn)
         for name in ("mwn", "ug", "vg"):
-            ds.createVariable(name, "f8", ("lon", "lat", "zwn", "root"),
+            ds.createVariable(name, "f8", grid_dims + ("root",),
                               zlib=True, complevel=4)[:] = data[name]
-        ds.createVariable("rootnum", "i4", ("lon", "lat", "zwn"))[:] = (
-            data["rootnum"]
-        )
-        ds.createVariable("KS", "f8", ("lon", "lat"))[:] = data["KS"]
+        ds.createVariable("rootnum", "i4", grid_dims)[:] = data["rootnum"]
+        ks_dims = grid_dims[:1] + ("lon", "lat") if time_varying else (
+            "lon", "lat")
+        ds.createVariable("KS", "f8", ks_dims)[:] = data["KS"]

@@ -215,12 +215,6 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
     if wnmaps_path:
         from rwrt_tpu.diagnostics import compute_wavenumber_maps
 
-        if bs.fields.ndim == 4:
-            raise ValueError(
-                "wnmaps are a static-background diagnostic; compute them "
-                "per frame via compute_wavenumber_maps on a single-frame "
-                "prepare() instead of a time-varying run"
-            )
         zwn = np.asarray(config.zwn_array())
         maps = compute_wavenumber_maps(bs, zwn, freq=config.freq, mesh=mesh)
         ncio.write_wavenumber_maps(maps, bs, zwn, wnmaps_path)

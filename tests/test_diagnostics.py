@@ -307,3 +307,28 @@ def test_write_wavenumber_maps(tmp_path, bs):
         assert ds["mwn"].shape == (bs.nlon, bs.nlat, 2, 3)
         assert ds["KS"].shape == (bs.nlon, bs.nlat)
         assert "rootnum" in ds.files
+
+
+def test_time_varying_wavenumber_maps(jet_field):
+    """A 4-D BasicState maps frame by frame: leading time axis, each frame
+    equal to the static solve on that frame's wind."""
+    import rwrt_tpu as rt
+    from rwrt_tpu.diagnostics.wavenumber import compute_wavenumber_maps
+
+    u, v, lat, lon = jet_field
+    frames = np.stack([u, u * 1.15])
+    vframes = np.stack([v, v])
+    tv = rt.prepare_time_varying(frames, vframes, lat, lon, bg_dt=86400.0,
+                                 cal_dtype="float64")
+    zwn = (2.0, 5.0)
+    maps_tv = compute_wavenumber_maps(tv, zwn)
+    assert np.asarray(maps_tv.mwn).shape[0] == 2
+    for ti, scale in enumerate((1.0, 1.15)):
+        st = rt.prepare(u * scale, v, lat, lon, cal_dtype="float64")
+        maps = compute_wavenumber_maps(st, zwn)
+        for k in ("mwn", "rootnum", "ug", "vg"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(maps_tv, k))[ti],
+                np.asarray(getattr(maps, k)),
+                rtol=0, atol=1e-12, equal_nan=True, err_msg=f"{k}[{ti}]",
+            )

@@ -428,3 +428,28 @@ def test_cli_rejects_unknown_and_missing_config_keys(tmp_path):
     with pytest.raises(SystemExit) as e:
         cli_main(["--config", p])
     assert e.value.code == 2
+
+
+def test_wnmaps_time_varying_through_cli_surface(tmp_path, jet_field):
+    """--wnmaps on a 3-D input writes the frame-axis wavenumber product
+    (one map set per background frame, time coordinates from bg_dt)."""
+    u, v, lat, lon = jet_field
+    frames = np.stack([u, u * 1.2])
+    vframes = np.stack([v, v])
+    inp = str(tmp_path / "wind3d.npz")
+    np.savez(inp, u=np.swapaxes(frames, 1, 2), v=np.swapaxes(vframes, 1, 2),
+             lat=np.degrees(lat), lon=np.degrees(lon))
+    cfg = RunConfig(
+        zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+        nnx=2, nny=1, tstep=2 * HOUR, ttotal=1 * DAY,
+        integrator="rk45", cal_dtype="float64", bg_dt=1.0 * DAY,
+    )
+    wn_path = str(tmp_path / "wn3d.npz")
+    paths = RunPaths(inputuv=inp, bsfile=None,
+                     ncfile=str(tmp_path / "rays3d.npz"))
+    run(cfg, paths, verbose=False, wnmaps_path=wn_path)
+    with np.load(wn_path) as ds:
+        assert ds["mwn"].shape == (2, u.shape[0], u.shape[1], 1, 3)
+        assert ds["rootnum"].shape == (2, u.shape[0], u.shape[1], 1)
+        assert ds["KS"].shape == (2, u.shape[0], u.shape[1])
+        np.testing.assert_allclose(ds["time"], [0.0, DAY])
