@@ -283,3 +283,40 @@ def wave_ray_flux(
         lon_centers=lon_c, lat_centers=lat_c,
         flux_u=fu, flux_v=fv, amp_sum=asum, count=cnt,
     )
+
+
+def ensemble_flux_statistics(trajs, **kwargs):
+    """Cellwise ensemble mean and spread of the flux maps across members.
+
+    The pooled aggregation (concatenating member trajectories along the
+    source axis, wrf_cli.load_ray_output) yields TOTAL maps over all
+    members; this yields the member-statistic product instead: the
+    ensemble-mean WRF map and the inter-member standard deviation (ddof=0)
+    per cell -- the standard presentation for reanalysis-year ensembles
+    (BASELINE.json config 5). kwargs pass through to wave_ray_flux and must
+    be identical for every member (same thresholds, bins, weight).
+
+    Returns (mean, std) as WaveRayFlux pytrees on the shared bin grid
+    (std's lon/lat centers are the same arrays).
+    """
+    trajs = list(trajs)
+    if not trajs:
+        raise ValueError("ensemble_flux_statistics needs at least 1 member")
+    members = [wave_ray_flux(t, **kwargs) for t in trajs]
+    lon_c, lat_c = members[0].lon_centers, members[0].lat_centers
+
+    def stat(name, red):
+        return red(jnp.stack([getattr(m, name).astype(jnp.result_type(
+            getattr(m, name).dtype, jnp.float32)) for m in members]), 0)
+
+    mean = WaveRayFlux(
+        lon_centers=lon_c, lat_centers=lat_c,
+        flux_u=stat("flux_u", jnp.mean), flux_v=stat("flux_v", jnp.mean),
+        amp_sum=stat("amp_sum", jnp.mean), count=stat("count", jnp.mean),
+    )
+    std = WaveRayFlux(
+        lon_centers=lon_c, lat_centers=lat_c,
+        flux_u=stat("flux_u", jnp.std), flux_v=stat("flux_v", jnp.std),
+        amp_sum=stat("amp_sum", jnp.std), count=stat("count", jnp.std),
+    )
+    return mean, std

@@ -59,8 +59,11 @@ def load_ray_output(path):
     )
 
 
-def write_flux(wrf, path: str, stats=None) -> str:
+def write_flux(wrf, path: str, stats=None, ens=None) -> str:
     """Write the flux maps (+ optional region aggregates) to .npz or NetCDF.
+
+    ens: optional (mean, std) WaveRayFlux pair from
+    flux.ensemble_flux_statistics; written as <field>_mean / <field>_std.
 
     Returns the path actually written (npz fallback appends '.npz')."""
     from rwrt_tpu.io import ncio
@@ -73,6 +76,11 @@ def write_flux(wrf, path: str, stats=None) -> str:
         "amp_sum": np.asarray(wrf.amp_sum),
         "count": np.asarray(wrf.count),
     }
+    if ens is not None:
+        e_mean, e_std = ens
+        for field in ("flux_u", "flux_v", "amp_sum", "count"):
+            data[f"{field}_mean"] = np.asarray(getattr(e_mean, field))
+            data[f"{field}_std"] = np.asarray(getattr(e_std, field))
     if stats is not None:
         data.update({
             "n_passing": np.asarray(stats.n_passing),
@@ -94,7 +102,11 @@ def write_flux(wrf, path: str, stats=None) -> str:
         ds.createDimension("lat", data["lat"].shape[0])
         ds.createVariable("lon", "f8", ("lon",))[:] = data["lon"]
         ds.createVariable("lat", "f8", ("lat",))[:] = data["lat"]
-        for name in ("flux_u", "flux_v", "amp_sum", "count"):
+        map_names = ["flux_u", "flux_v", "amp_sum", "count"]
+        if ens is not None:
+            map_names += [f"{f}_{s}" for f in map_names[:4]
+                          for s in ("mean", "std")]
+        for name in map_names:
             ds.createVariable(name, "f8", ("lon", "lat"),
                               zlib=True, complevel=4)[:] = data[name]
         if stats is not None:
@@ -152,19 +164,30 @@ def main(argv=None) -> int:
     ap.add_argument("--tstep", type=float, default=7200.0,
                     help="output cadence of the trajectory file (s), for "
                          "the region aggregates")
+    ap.add_argument("--ensemble-stats", action="store_true",
+                    help="with several --traj files, also write the "
+                         "per-member ensemble mean and inter-member std of "
+                         "every flux map (<field>_mean / <field>_std)")
     args = ap.parse_args(argv)
 
     from rwrt_tpu.diagnostics import flux as flux_mod
 
-    traj = load_ray_output(args.traj)
-    wrf = flux_mod.wave_ray_flux(
-        traj, nlon_bins=args.nlon_bins, nlat_bins=args.nlat_bins,
+    flux_kw = dict(
+        nlon_bins=args.nlon_bins, nlat_bins=args.nlat_bins,
         amp_min=args.amp_min, amp_max=args.amp_max,
         speed_min=args.speed_min, speed_max=args.speed_max,
         mwn_max=args.mwn_max,
         lon_range=args.lon_range, lat_range=args.lat_range,
         weight=args.weight,
     )
+    traj = load_ray_output(args.traj)
+    wrf = flux_mod.wave_ray_flux(traj, **flux_kw)
+    ens = None
+    if args.ensemble_stats:
+        if len(args.traj) < 2:
+            ap.error("--ensemble-stats needs at least two --traj files")
+        ens = flux_mod.ensemble_flux_statistics(
+            (load_ray_output(p) for p in args.traj), **flux_kw)
     stats = None
     if args.lon_range is not None and args.lat_range is not None:
         stats = flux_mod.region_statistics(
@@ -178,7 +201,7 @@ def main(argv=None) -> int:
             "mean_entry_time_h": _num(stats.mean_entry_time / 3600.0, 2),
             "mean_speed_m_s": _num(stats.mean_speed, 2),
         }))
-    written = write_flux(wrf, args.out, stats)
+    written = write_flux(wrf, args.out, stats, ens=ens)
     print(f"wrote {written}: {int(np.asarray(wrf.count).sum())} points "
           f"binned on ({args.nlon_bins}, {args.nlat_bins})")
     return 0

@@ -229,3 +229,54 @@ def test_longitude_three_circle_scope():
     cnt = np.asarray(wrf.count)
     third_circle = cnt[int((360 + 360) / 30):, :]
     assert third_circle.sum() >= 2
+
+
+def test_ensemble_flux_statistics(tmp_path):
+    """--ensemble-stats writes per-member mean/std maps: mean = (f1+f2)/2,
+    std = |f1-f2|/2 cellwise for two members; pooled maps are their sum."""
+    from rwrt_tpu.diagnostics import flux, wrf_cli
+    from rwrt_tpu.io import ncio
+
+    one = _toy_traj()
+    shifted = type(one)(one.lon + np.radians(5.0), *one[1:])
+
+    mean, std = flux.ensemble_flux_statistics([one, shifted], weight="count")
+    f1 = flux.wave_ray_flux(one, weight="count")
+    f2 = flux.wave_ray_flux(shifted, weight="count")
+    for k in ("flux_u", "flux_v", "amp_sum", "count"):
+        a1, a2 = np.asarray(getattr(f1, k)), np.asarray(getattr(f2, k))
+        np.testing.assert_allclose(np.asarray(getattr(mean, k)),
+                                   0.5 * (a1 + a2), atol=1e-12, err_msg=k)
+        np.testing.assert_allclose(np.asarray(getattr(std, k)),
+                                   0.5 * np.abs(a1 - a2), atol=1e-12,
+                                   err_msg=k)
+
+    parts = []
+    for i, member in enumerate((one, shifted)):
+        p = str(tmp_path / f"m{i}.npz")
+        ncio.write_trajectories(member, p)
+        parts.append(p)
+    opath = str(tmp_path / "wrf_ens.npz")
+    rc = wrf_cli.main(["--traj", *parts, "--out", opath, "--weight", "count",
+                       "--ensemble-stats"])
+    assert rc == 0
+    with np.load(opath) as d:
+        np.testing.assert_allclose(d["count_mean"], np.asarray(mean.count),
+                                   atol=1e-12)
+        np.testing.assert_allclose(d["count_std"], np.asarray(std.count),
+                                   atol=1e-12)
+        # pooled map = sum over members = 2x the member mean
+        np.testing.assert_allclose(d["count"], 2.0 * d["count_mean"],
+                                   atol=1e-12)
+
+
+def test_ensemble_stats_needs_two_files(tmp_path):
+    from rwrt_tpu.diagnostics import wrf_cli
+    from rwrt_tpu.io import ncio
+    import pytest as _pytest
+
+    p = str(tmp_path / "m0.npz")
+    ncio.write_trajectories(_toy_traj(), p)
+    with _pytest.raises(SystemExit):
+        wrf_cli.main(["--traj", p, "--out", str(tmp_path / "o.npz"),
+                      "--ensemble-stats"])
