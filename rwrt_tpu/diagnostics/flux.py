@@ -189,23 +189,41 @@ def region_statistics(
     )
 
 
-def _unwrap_lon(lon_rad: jnp.ndarray) -> jnp.ndarray:
-    """Continuous longitude along each ray (time axis 0), radians.
+def _unwrap_lon_block(lon_rad: jnp.ndarray, carry=None):
+    """Continuous longitude along each ray (time axis 0), radians, with an
+    optional carry so long histories can be processed in time blocks.
 
     Starts in [0, 2*pi) and accumulates increments mapped to (-pi, pi], so a
-    ray circling the globe keeps increasing/decreasing past 360 deg. Output is
-    clipped to the manual's -360..720 degree bookkeeping span ("three
-    longitude circles").
+    ray circling the globe keeps increasing/decreasing past 360 deg. Output
+    is clipped to the manual's -360..720 degree bookkeeping span ("three
+    longitude circles"); the carry keeps the UNCLIPPED accumulator (and the
+    last wrapped row) so chaining blocks is exactly the one-shot unwrap.
+    NaN rows (dead steps) contribute zero increment and emit NaN.
     """
     base = lon_rad % (2.0 * pi)
-    d = jnp.diff(base, axis=0)
+    if carry is None:
+        start = base[:1]
+        d = jnp.diff(base, axis=0)
+    else:
+        u_prev, base_prev = carry
+        start = u_prev
+        d = jnp.diff(jnp.concatenate([base_prev, base], axis=0), axis=0)
     d = (d + pi) % (2.0 * pi) - pi
     d = jnp.where(jnp.isnan(d), 0.0, d)
-    unwrapped = jnp.concatenate(
-        [base[:1], base[:1] + jnp.cumsum(d, axis=0)], axis=0
-    )
+    if carry is None:
+        unwrapped = jnp.concatenate(
+            [start, start + jnp.cumsum(d, axis=0)], axis=0
+        )
+    else:
+        unwrapped = start + jnp.cumsum(d, axis=0)
+    new_carry = (unwrapped[-1:], base[-1:])
     unwrapped = jnp.where(jnp.isnan(base), jnp.nan, unwrapped)
-    return jnp.clip(unwrapped, -2.0 * pi, 4.0 * pi)
+    return jnp.clip(unwrapped, -2.0 * pi, 4.0 * pi), new_carry
+
+
+def _unwrap_lon(lon_rad: jnp.ndarray) -> jnp.ndarray:
+    """One-shot form of `_unwrap_lon_block` (whole history at once)."""
+    return _unwrap_lon_block(lon_rad)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("nlon_bins", "nlat_bins",
@@ -320,3 +338,81 @@ def ensemble_flux_statistics(trajs, **kwargs):
         amp_sum=stat("amp_sum", jnp.std), count=stat("count", jnp.std),
     )
     return mean, std
+
+
+def wave_ray_flux_chunked(
+    traj: RayTrajectories,
+    time_block: int = 128,
+    nlon_bins: int = 360,
+    nlat_bins: int = 90,
+    amp_min: float = 0.0,
+    amp_max: float = float("inf"),
+    speed_min: Optional[float] = None,
+    speed_max: Optional[float] = None,
+    mwn_max: Optional[float] = None,
+    lon_range=None,
+    lat_range=None,
+    weight: str = "amp_cg",
+) -> WaveRayFlux:
+    """wave_ray_flux over time blocks: bounded device memory at any nt.
+
+    A 90-day 100k-ray float32 history is ~3 GB per variable group on device
+    if binned in one shot; the accumulation is additive over points, so this
+    walks the time axis in ``time_block``-row blocks (memmap-backed streamed
+    histories from trace_rays_chunked(stream_dir=...) never materialize in
+    full). The two cross-time couplings are handled exactly: the continuous
+    longitude unwrap is chained through a per-block carry
+    (`_unwrap_lon_block`), and the Fun2 region selection ("ray EVER enters
+    the box") gets a first cheap pass accumulating the per-ray OR before the
+    binning pass. Result equals wave_ray_flux up to float summation order.
+    """
+    fields = ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+    nt = np.asarray(traj.lon.shape)[0]
+
+    def block(t0, t1):
+        return RayTrajectories(
+            **{k: jnp.asarray(np.asarray(getattr(traj, k)[t0:t1]))
+               for k in fields}
+        )
+
+    bounds = list(range(0, int(nt), time_block)) + [int(nt)]
+    spans = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+    keep_ray = None
+    if lon_range is not None and lat_range is not None:
+        for t0, t1 in spans:
+            k = np.asarray(jnp.any(_in_box(block(t0, t1), lon_range,
+                                           lat_range), axis=0))
+            keep_ray = k if keep_ray is None else (keep_ray | k)
+
+    shape = (nlon_bins, nlat_bins)
+    fu = np.zeros(shape)
+    fv = np.zeros(shape)
+    asum = np.zeros(shape)
+    cnt = np.zeros(shape)
+    carry = None
+    for t0, t1 in spans:
+        sub = block(t0, t1)
+        valid = threshold_filter(sub, amp_min, amp_max, speed_min,
+                                 speed_max, mwn_max)
+        if keep_ray is not None:
+            valid = valid & jnp.asarray(keep_ray)[None]
+        lon_u, carry = _unwrap_lon_block(sub.lon, carry)
+        bfu, bfv, basum, bcnt = _accumulate(
+            lon_u / deg2rad, sub.lat / deg2rad, sub.amp, sub.ug, sub.vg,
+            valid, nlon_bins, nlat_bins, weight,
+        )
+        fu += np.asarray(bfu)
+        fv += np.asarray(bfv)
+        asum += np.asarray(basum)
+        cnt += np.asarray(bcnt)
+
+    dlon = 1080.0 / nlon_bins
+    dlat = 180.0 / nlat_bins
+    lon_c = -360.0 + (jnp.arange(nlon_bins) + 0.5) * dlon
+    lat_c = -90.0 + (jnp.arange(nlat_bins) + 0.5) * dlat
+    return WaveRayFlux(
+        lon_centers=lon_c, lat_centers=lat_c,
+        flux_u=jnp.asarray(fu), flux_v=jnp.asarray(fv),
+        amp_sum=jnp.asarray(asum), count=jnp.asarray(cnt),
+    )

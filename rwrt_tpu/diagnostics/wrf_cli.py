@@ -168,6 +168,10 @@ def main(argv=None) -> int:
                     help="with several --traj files, also write the "
                          "per-member ensemble mean and inter-member std of "
                          "every flux map (<field>_mean / <field>_std)")
+    ap.add_argument("--time-block", type=int, default=None,
+                    help="bin the maps in time blocks of this many output "
+                         "steps (bounded device memory for very long "
+                         "histories; equal to the one-shot result)")
     args = ap.parse_args(argv)
 
     from rwrt_tpu.diagnostics import flux as flux_mod
@@ -181,7 +185,11 @@ def main(argv=None) -> int:
         weight=args.weight,
     )
     traj = load_ray_output(args.traj)
-    wrf = flux_mod.wave_ray_flux(traj, **flux_kw)
+    if args.time_block:
+        wrf = flux_mod.wave_ray_flux_chunked(
+            traj, time_block=args.time_block, **flux_kw)
+    else:
+        wrf = flux_mod.wave_ray_flux(traj, **flux_kw)
     ens = None
     if args.ensemble_stats:
         if len(args.traj) < 2:

@@ -280,3 +280,59 @@ def test_ensemble_stats_needs_two_files(tmp_path):
     with _pytest.raises(SystemExit):
         wrf_cli.main(["--traj", p, "--out", str(tmp_path / "o.npz"),
                       "--ensemble-stats"])
+
+
+def _circling_traj(nt=22):
+    """One ray circling the globe westward (unwrap crosses -360), one
+    eastward past +360, one dying mid-run -- stress for the blockwise
+    longitude-unwrap carry."""
+    shape = (nt, 3, 1, 1)
+    lon = np.full(shape, np.nan)
+    lat = np.full(shape, np.nan)
+    ones = np.ones(nt)
+    lon[:, 0, 0, 0] = np.radians(10.0 - 55.0 * np.arange(nt))   # westward
+    lon[:, 1, 0, 0] = np.radians(5.0 + 60.0 * np.arange(nt))    # eastward
+    lon[: nt // 2, 2, 0, 0] = np.radians(40.0 + 20.0 * np.arange(nt // 2))
+    lat[:, 0, 0, 0] = np.radians(30.0)
+    lat[:, 1, 0, 0] = np.radians(-20.0)
+    lat[: nt // 2, 2, 0, 0] = np.radians(5.0)
+    kx = np.where(np.isfinite(lon), 3.0, np.nan)
+    ky = np.where(np.isfinite(lon), 1.5, np.nan)
+    amp = np.where(np.isfinite(lon), 1.0 + 0.1 * np.arange(nt)[:, None, None, None], np.nan)
+    ug = np.where(np.isfinite(lon), 25.0, np.nan)
+    vg = np.where(np.isfinite(lon), 5.0 * ones[:, None, None, None], np.nan)
+    return RayTrajectories(*(jnp.asarray(a) for a in
+                             (lon, lat, kx, ky, amp, ug, vg)))
+
+
+def test_chunked_flux_equals_one_shot():
+    """wave_ray_flux_chunked == wave_ray_flux for every map, across
+    non-dividing block sizes, thresholds, region selection, and rays whose
+    unwrapped longitude crosses block boundaries and the +-360 clip."""
+    traj = _circling_traj()
+    kw = dict(weight="amp_cg", mwn_max=100.0, speed_min=1.0)
+    ref = flux_mod.wave_ray_flux(traj, **kw)
+    for blk in (3, 7, 22, 50):
+        got = flux_mod.wave_ray_flux_chunked(traj, time_block=blk, **kw)
+        for k in ("flux_u", "flux_v", "amp_sum", "count"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, k)), np.asarray(getattr(ref, k)),
+                rtol=0, atol=1e-10, err_msg=f"{k} blk={blk}")
+
+    # With Fun2 region selection (the two-pass path).
+    kw2 = dict(weight="count", lon_range=(0.0, 60.0), lat_range=(0.0, 40.0))
+    ref2 = flux_mod.wave_ray_flux(traj, **kw2)
+    got2 = flux_mod.wave_ray_flux_chunked(traj, time_block=4, **kw2)
+    for k in ("flux_u", "flux_v", "amp_sum", "count"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got2, k)), np.asarray(getattr(ref2, k)),
+            rtol=0, atol=1e-10, err_msg=k)
+
+    # And on the hand-built toy set (dead lanes, rootless lanes).
+    toy = _toy_traj()
+    ref3 = flux_mod.wave_ray_flux(toy, weight="cg")
+    got3 = flux_mod.wave_ray_flux_chunked(toy, time_block=3, weight="cg")
+    for k in ("flux_u", "flux_v", "amp_sum", "count"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got3, k)), np.asarray(getattr(ref3, k)),
+            rtol=0, atol=1e-12, err_msg=k)
