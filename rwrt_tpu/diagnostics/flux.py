@@ -126,6 +126,17 @@ def _in_box(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
             & jnp.isfinite(traj.amp))
 
 
+def _hop_lengths(lon, lat):
+    """Great-circle lengths between consecutive rows (radians); NaN -> 0."""
+    dlon = lon[1:] - lon[:-1]
+    dlat = lat[1:] - lat[:-1]
+    a = (np.sin(dlat / 2.0) ** 2
+         + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2.0) ** 2)
+    a = np.clip(a, 0.0, 1.0)
+    hop = 2.0 * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
+    return np.where(np.isfinite(hop), hop, 0.0)
+
+
 def region_statistics(
     traj: RayTrajectories,
     lon_range,
@@ -133,36 +144,64 @@ def region_statistics(
     tstep: float,
     source_lon=None,
     source_lat=None,
+    time_block: Optional[int] = None,
 ) -> RegionStatistics:
     """Fun3's target-region aggregates: how many rays reach the box, the
     average propagation time to first entry, the average along-path speed up
     to entry (great-circle path length / entry time; rays seeded inside the
     box are excluded from the speed average), and the seed positions of the
     passing rays.
+
+    time_block: walk the time axis in blocks of this many output steps (the
+    first-entry search and the cumulative path length chain exactly through
+    per-block carries), so memmap-backed streamed histories never
+    materialize in full. None = one pass over the whole history.
     """
-    in_box = np.asarray(_in_box(traj, lon_range, lat_range))
-    nt = in_box.shape[0]
-    passes = in_box.any(axis=0)
-    first = np.where(passes, in_box.argmax(axis=0), -1)
+    fields = ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+    nt = int(np.asarray(traj.lon.shape)[0])
+    blk = nt if not time_block else int(time_block)
 
-    lon = np.asarray(traj.lon)
-    lat = np.asarray(traj.lat)
-    # Great-circle hop lengths between consecutive saved points (radians).
-    dlon = lon[1:] - lon[:-1]
-    dlat = lat[1:] - lat[:-1]
-    a = (np.sin(dlat / 2.0) ** 2
-         + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2.0) ** 2)
-    a = np.clip(a, 0.0, 1.0)
-    hop = 2.0 * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
-    hop = np.where(np.isfinite(hop), hop, 0.0)
-    # Path length up to each step: cumulative sum with a zero row on top.
-    cum = np.concatenate([np.zeros((1,) + hop.shape[1:]), np.cumsum(hop, 0)])
+    first = None          # (3, nsource, nzwn) first-entry step; -1 = never
+    path_at_first = None  # path length (radians) at first entry
+    carry_cum = None      # running path length at the last row walked
+    prev_lon = prev_lat = None
+    src_row = None
+    for t0 in range(0, nt, blk):
+        t1 = min(nt, t0 + blk)
+        sub = RayTrajectories(
+            **{k: jnp.asarray(np.asarray(getattr(traj, k)[t0:t1]))
+               for k in fields}
+        )
+        in_box = np.asarray(_in_box(sub, lon_range, lat_range))
+        lon = np.asarray(sub.lon)
+        lat = np.asarray(sub.lat)
+        if first is None:
+            shape = in_box.shape[1:]
+            first = np.full(shape, -1, dtype=np.int64)
+            path_at_first = np.zeros(shape)
+            src_row = (lon[0], lat[0])
+            hop = _hop_lengths(lon, lat)
+            # Path length up to each row: cumsum with a zero row on top.
+            cum_rows = np.concatenate(
+                [np.zeros((1,) + shape), np.cumsum(hop, 0)])
+        else:
+            hop = _hop_lengths(np.concatenate([prev_lon[None], lon]),
+                               np.concatenate([prev_lat[None], lat]))
+            cum_rows = carry_cum[None] + np.cumsum(hop, 0)
+        carry_cum = cum_rows[-1]
+        prev_lon, prev_lat = lon[-1], lat[-1]
 
-    entered = passes & (first > 0)
+        blk_any = in_box.any(axis=0)
+        blk_first = in_box.argmax(axis=0)
+        newly = (first < 0) & blk_any
+        first = np.where(newly, t0 + blk_first, first)
+        pick = np.take_along_axis(cum_rows, blk_first[None], axis=0)[0]
+        path_at_first = np.where(newly, pick, path_at_first)
+
+    passes = first >= 0
+    entered = first > 0
     times = first[entered] * tstep
-    steps = np.clip(first, 0, nt - 1)
-    path = np.take_along_axis(cum, steps[None], axis=0)[0]
-    speeds = path[entered] * rearth / np.maximum(times, 1e-30)
+    speeds = path_at_first[entered] * rearth / np.maximum(times, 1e-30)
 
     n_passing = int(passes.sum())
     mean_entry_time = (
@@ -171,8 +210,7 @@ def region_statistics(
     mean_speed = float(speeds.mean()) if entered.any() else float("nan")
 
     if source_lon is None:
-        src_lon = lon[0]
-        src_lat = lat[0]
+        src_lon, src_lat = src_row
     else:
         shape = passes.shape
         src_lon = np.broadcast_to(

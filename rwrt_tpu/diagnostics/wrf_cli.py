@@ -199,7 +199,8 @@ def main(argv=None) -> int:
     stats = None
     if args.lon_range is not None and args.lat_range is not None:
         stats = flux_mod.region_statistics(
-            traj, args.lon_range, args.lat_range, args.tstep)
+            traj, args.lon_range, args.lat_range, args.tstep,
+            time_block=args.time_block)
 
         def _num(x, digits):
             return round(float(x), digits) if np.isfinite(x) else None

@@ -336,3 +336,23 @@ def test_chunked_flux_equals_one_shot():
         np.testing.assert_allclose(
             np.asarray(getattr(got3, k)), np.asarray(getattr(ref3, k)),
             rtol=0, atol=1e-12, err_msg=k)
+
+
+def test_region_statistics_time_block_equals_one_shot():
+    """Blockwise region statistics chain the first-entry search and the
+    path-length cumsum exactly across block boundaries."""
+    for traj in (_toy_traj(), _circling_traj()):
+        ref = flux_mod.region_statistics(traj, (0.0, 60.0), (0.0, 40.0),
+                                         2 * HOUR)
+        for blk in (1, 3, 5, 100):
+            got = flux_mod.region_statistics(traj, (0.0, 60.0), (0.0, 40.0),
+                                             2 * HOUR, time_block=blk)
+            assert got.n_passing == ref.n_passing, blk
+            np.testing.assert_array_equal(got.first_entry_step,
+                                          ref.first_entry_step)
+            np.testing.assert_allclose(got.mean_entry_time,
+                                       ref.mean_entry_time, equal_nan=True)
+            np.testing.assert_allclose(got.mean_speed, ref.mean_speed,
+                                       rtol=1e-12, equal_nan=True)
+            np.testing.assert_allclose(got.source_lon, ref.source_lon)
+            np.testing.assert_allclose(got.source_lat, ref.source_lat)
