@@ -53,3 +53,10 @@ def test_adjoint_sensitivity_demo(tmp_path):
     # The demo prints grad vs finite-difference pairs; both lines present.
     assert "d(final lat)/d(jet scale)" in out
     assert "d(final lat)/d(seed lat)" in out
+
+
+@pytest.mark.slow
+def test_source_targeting_demo(tmp_path):
+    out = _run("source_targeting.py", cwd=tmp_path)
+    assert "objective:" in out
+    assert "miss" in out
