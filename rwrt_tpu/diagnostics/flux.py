@@ -114,16 +114,22 @@ def _in_box(traj: RayTrajectories, lon_range, lat_range) -> jnp.ndarray:
     lanes keep a finite frozen seed position at every step (the integrators'
     freeze semantics), and must not count as rays passing through the box.
     """
-    lon_deg = (traj.lon / deg2rad) % 360.0
-    lat_deg = traj.lat / deg2rad
+    return _in_box_arrays(traj.lon, traj.lat, traj.amp, lon_range, lat_range)
+
+
+def _in_box_arrays(lon, lat, amp, lon_range, lat_range) -> jnp.ndarray:
+    """Array form of `_in_box` so block walkers can slice just these three
+    fields instead of materializing a full 7-field RayTrajectories."""
+    lon_deg = (lon / deg2rad) % 360.0
+    lat_deg = lat / deg2rad
     lo0, lo1 = lon_range[0] % 360.0, lon_range[1] % 360.0
     if lo1 >= lo0:
         in_lon = (lon_deg >= lo0) & (lon_deg <= lo1)
     else:  # box crossing the date line
         in_lon = (lon_deg >= lo0) | (lon_deg <= lo1)
     in_box = in_lon & (lat_deg >= lat_range[0]) & (lat_deg <= lat_range[1])
-    return (in_box & jnp.isfinite(traj.lon) & jnp.isfinite(traj.lat)
-            & jnp.isfinite(traj.amp))
+    return (in_box & jnp.isfinite(lon) & jnp.isfinite(lat)
+            & jnp.isfinite(amp))
 
 
 def _hop_lengths(lon, lat):
@@ -157,7 +163,8 @@ def region_statistics(
     per-block carries), so memmap-backed streamed histories never
     materialize in full. None = one pass over the whole history.
     """
-    fields = ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+    if time_block is not None and int(time_block) < 1:
+        raise ValueError(f"time_block must be >= 1, got {time_block}")
     nt = int(np.asarray(traj.lon.shape)[0])
     blk = nt if not time_block else int(time_block)
 
@@ -168,13 +175,13 @@ def region_statistics(
     src_row = None
     for t0 in range(0, nt, blk):
         t1 = min(nt, t0 + blk)
-        sub = RayTrajectories(
-            **{k: jnp.asarray(np.asarray(getattr(traj, k)[t0:t1]))
-               for k in fields}
-        )
-        in_box = np.asarray(_in_box(sub, lon_range, lat_range))
-        lon = np.asarray(sub.lon)
-        lat = np.asarray(sub.lat)
+        # Only the three fields this statistic reads; host numpy throughout
+        # (no device round trip on the memory-bounded path).
+        lon = np.asarray(traj.lon[t0:t1])
+        lat = np.asarray(traj.lat[t0:t1])
+        amp = np.asarray(traj.amp[t0:t1])
+        in_box = np.asarray(_in_box_arrays(lon, lat, amp,
+                                           lon_range, lat_range))
         if first is None:
             shape = in_box.shape[1:]
             first = np.full(shape, -1, dtype=np.int64)
@@ -341,7 +348,7 @@ def wave_ray_flux(
     )
 
 
-def ensemble_flux_statistics(trajs, **kwargs):
+def ensemble_flux_statistics(trajs, time_block=None, **kwargs):
     """Cellwise ensemble mean and spread of the flux maps across members.
 
     The pooled aggregation (concatenating member trajectories along the
@@ -354,11 +361,18 @@ def ensemble_flux_statistics(trajs, **kwargs):
 
     Returns (mean, std) as WaveRayFlux pytrees on the shared bin grid
     (std's lon/lat centers are the same arrays).
+
+    time_block: bin each member in time blocks of this many output steps
+    (wave_ray_flux_chunked; bounded device memory for long histories).
     """
     trajs = list(trajs)
     if not trajs:
         raise ValueError("ensemble_flux_statistics needs at least 1 member")
-    members = [wave_ray_flux(t, **kwargs) for t in trajs]
+    if time_block:
+        members = [wave_ray_flux_chunked(t, time_block=time_block, **kwargs)
+                   for t in trajs]
+    else:
+        members = [wave_ray_flux(t, **kwargs) for t in trajs]
     lon_c, lat_c = members[0].lon_centers, members[0].lat_centers
 
     def stat(name, red):
@@ -404,6 +418,8 @@ def wave_ray_flux_chunked(
     the box") gets a first cheap pass accumulating the per-ray OR before the
     binning pass. Result equals wave_ray_flux up to float summation order.
     """
+    if time_block < 1:
+        raise ValueError(f"time_block must be >= 1, got {time_block}")
     fields = ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
     nt = np.asarray(traj.lon.shape)[0]
 
@@ -418,9 +434,13 @@ def wave_ray_flux_chunked(
 
     keep_ray = None
     if lon_range is not None and lat_range is not None:
+        # Cheap first pass: only the three fields the box test reads, in
+        # host numpy (no device transfer of the 4 unused fields).
         for t0, t1 in spans:
-            k = np.asarray(jnp.any(_in_box(block(t0, t1), lon_range,
-                                           lat_range), axis=0))
+            k = np.asarray(_in_box_arrays(
+                np.asarray(traj.lon[t0:t1]), np.asarray(traj.lat[t0:t1]),
+                np.asarray(traj.amp[t0:t1]), lon_range, lat_range,
+            )).any(axis=0)
             keep_ray = k if keep_ray is None else (keep_ray | k)
 
     shape = (nlon_bins, nlat_bins)

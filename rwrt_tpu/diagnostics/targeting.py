@@ -168,7 +168,8 @@ def optimize_seeds(
     for _ in range(steps):
         params, state, val = update(params, state)
         history.append(float(val))  # objective BEFORE this step's update
-    history.append(float(val_grad(params)[0]))
+    # Final entry: value only (no gradient), forward pass alone.
+    history.append(float(jax.jit(objective)(params)))
 
     final = miss_distance(bg, params["lon"], params["lat"], zwn,
                           target_lon, target_lat, tau=None, **kw)

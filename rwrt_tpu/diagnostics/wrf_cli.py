@@ -23,13 +23,17 @@ import numpy as np
 from rwrt_tpu.constants import deg2rad
 
 
-def load_ray_output(path):
+def load_ray_output(path, device=True):
     """Read trajectory file(s) (write_trajectories schema) into the
     RayTrajectories pytree the diagnostics consume.
 
     A list of paths (e.g. the per-member files of a CLI ensemble run) is
     concatenated along the source axis, so every downstream diagnostic
     (flux maps, region statistics) aggregates over all members in one pass.
+
+    device=False keeps the arrays in host numpy — the memory-bounded
+    (--time-block) path then transfers only one block at a time to the
+    device instead of the whole history up front.
     """
     import jax.numpy as jnp
 
@@ -44,18 +48,19 @@ def load_ray_output(path):
             "trajectory files must share (time, root, zwn) dims to be "
             f"aggregated, got {sorted(shapes)}"
         )
+    conv = jnp.asarray if device else np.asarray
 
     def cat(key):
         return np.concatenate([p[key] for p in parts], axis=2)
 
     return RayTrajectories(
-        lon=jnp.asarray(cat("rlon") * deg2rad),
-        lat=jnp.asarray(cat("rlat") * deg2rad),
-        kx=jnp.asarray(cat("rzwn")),
-        ky=jnp.asarray(cat("rmwn")),
-        amp=jnp.asarray(cat("ramp")),
-        ug=jnp.asarray(cat("rug")),
-        vg=jnp.asarray(cat("rvg")),
+        lon=conv(cat("rlon") * deg2rad),
+        lat=conv(cat("rlat") * deg2rad),
+        kx=conv(cat("rzwn")),
+        ky=conv(cat("rmwn")),
+        amp=conv(cat("ramp")),
+        ug=conv(cat("rug")),
+        vg=conv(cat("rvg")),
     )
 
 
@@ -184,20 +189,47 @@ def main(argv=None) -> int:
         lon_range=args.lon_range, lat_range=args.lat_range,
         weight=args.weight,
     )
-    traj = load_ray_output(args.traj)
-    if args.time_block:
-        wrf = flux_mod.wave_ray_flux_chunked(
-            traj, time_block=args.time_block, **flux_kw)
-    else:
-        wrf = flux_mod.wave_ray_flux(traj, **flux_kw)
+    if args.time_block is not None and args.time_block < 1:
+        ap.error("--time-block must be >= 1")
+    device = not args.time_block
+
+    def bin_maps(t):
+        if args.time_block:
+            return flux_mod.wave_ray_flux_chunked(
+                t, time_block=args.time_block, **flux_kw)
+        return flux_mod.wave_ray_flux(t, **flux_kw)
+
     ens = None
     if args.ensemble_stats:
         if len(args.traj) < 2:
             ap.error("--ensemble-stats needs at least two --traj files")
+        # Load each member once; the pooled maps are n x the member mean
+        # (the pooled aggregation is the member sum by construction).
+        members = [load_ray_output(p, device=device) for p in args.traj]
         ens = flux_mod.ensemble_flux_statistics(
-            (load_ray_output(p) for p in args.traj), **flux_kw)
+            members, time_block=args.time_block, **flux_kw)
+        n = len(members)
+        e_mean = ens[0]
+        wrf = type(e_mean)(
+            lon_centers=e_mean.lon_centers, lat_centers=e_mean.lat_centers,
+            flux_u=e_mean.flux_u * n, flux_v=e_mean.flux_v * n,
+            amp_sum=e_mean.amp_sum * n, count=e_mean.count * n,
+        )
+        traj = None  # only assembled if the region aggregates need it
+    else:
+        members = None
+        traj = load_ray_output(args.traj, device=device)
+        wrf = bin_maps(traj)
     stats = None
     if args.lon_range is not None and args.lat_range is not None:
+        if traj is None:
+            from rwrt_tpu.tracer import RayTrajectories
+
+            traj = RayTrajectories(**{
+                k: np.concatenate(
+                    [np.asarray(getattr(m, k)) for m in members], axis=2)
+                for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+            })
         stats = flux_mod.region_statistics(
             traj, args.lon_range, args.lat_range, args.tstep,
             time_block=args.time_block)

@@ -356,3 +356,53 @@ def test_region_statistics_time_block_equals_one_shot():
                                        rtol=1e-12, equal_nan=True)
             np.testing.assert_allclose(got.source_lon, ref.source_lon)
             np.testing.assert_allclose(got.source_lat, ref.source_lat)
+
+
+def test_time_block_validation(tmp_path):
+    """Non-positive time_block is rejected everywhere (a negative block
+    would silently produce all-zero maps)."""
+    import pytest as _pytest
+
+    traj = _toy_traj()
+    with _pytest.raises(ValueError, match="time_block"):
+        flux_mod.wave_ray_flux_chunked(traj, time_block=-3)
+    with _pytest.raises(ValueError, match="time_block"):
+        flux_mod.wave_ray_flux_chunked(traj, time_block=0)
+    with _pytest.raises(ValueError, match="time_block"):
+        flux_mod.region_statistics(traj, (0.0, 60.0), (0.0, 40.0), 2 * HOUR,
+                                   time_block=-1)
+    from rwrt_tpu.diagnostics import wrf_cli
+    from rwrt_tpu.io import ncio
+
+    p = str(tmp_path / "t.npz")
+    ncio.write_trajectories(traj, p)
+    with _pytest.raises(SystemExit):
+        wrf_cli.main(["--traj", p, "--out", str(tmp_path / "o.npz"),
+                      "--time-block", "-3"])
+
+
+def test_ensemble_stats_with_time_block(tmp_path):
+    """--ensemble-stats composes with --time-block: same mean/std maps, and
+    the pooled maps equal n x the member mean."""
+    from rwrt_tpu.diagnostics import wrf_cli
+    from rwrt_tpu.io import ncio
+
+    one = _toy_traj()
+    shifted = type(one)(one.lon + np.radians(5.0), *one[1:])
+    parts = []
+    for i, member in enumerate((one, shifted)):
+        p = str(tmp_path / f"m{i}.npz")
+        ncio.write_trajectories(member, p)
+        parts.append(p)
+
+    out_a = str(tmp_path / "a.npz")
+    out_b = str(tmp_path / "b.npz")
+    common = ["--weight", "count", "--ensemble-stats"]
+    assert wrf_cli.main(["--traj", *parts, "--out", out_a] + common) == 0
+    assert wrf_cli.main(["--traj", *parts, "--out", out_b,
+                         "--time-block", "2"] + common) == 0
+    with np.load(out_a) as a, np.load(out_b) as b:
+        for k in ("count", "count_mean", "count_std", "flux_u_mean"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-12, err_msg=k)
+        np.testing.assert_allclose(a["count"], 2.0 * a["count_mean"],
+                                   atol=1e-12)

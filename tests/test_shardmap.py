@@ -211,11 +211,21 @@ def test_gspmd_barrier_loop_would_collectivize(bs):
     assert any(op in txt for op in COLLECTIVE_OPS)
 
 
-def test_wavenumber_maps_under_mesh(bs):
+def test_wavenumber_maps_under_mesh():
     """Grid-wide wavenumber maps shard the flattened grid-point axis over
-    the mesh: identical NaN masks, values to codegen ULP wobble, and the
-    grid of 46*24 points (not divisible by 8) exercises the NaN padding."""
+    the mesh: identical NaN masks, values to codegen ULP wobble. The grid
+    is 46 x 25 = 1150 points -- NOT divisible by 8 -- so the NaN point
+    padding and the [:npts] un-pad slice are genuinely exercised."""
     from rwrt_tpu.diagnostics.wavenumber import compute_wavenumber_maps
+
+    nlon, nlat = 46, 25
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon = np.arange(nlon) * 2 * np.pi / nlon
+    u = (22.0 * np.cos(lat)[None, :] ** 2
+         + 5.0 * np.cos(2 * lon)[:, None] * np.cos(lat)[None, :])
+    v = 2.0 * np.sin(lon)[:, None] * np.cos(lat)[None, :]
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    assert (nlon * nlat) % 8 != 0
 
     zwn = (2.0, 4.0, 6.0)
     single = compute_wavenumber_maps(bs, zwn)
