@@ -161,8 +161,10 @@ class RunConfig:
             raise ValueError(f"unknown root_order {self.root_order!r}")
         if self.nnx * self.nny < 1:
             raise ValueError("empty source matrix")
-        if self.sw_lat + (self.nny - 1) * self.dlat > 89.0:
-            # reference wr.py:246-247
+        lat_ends = (self.sw_lat, self.sw_lat + (self.nny - 1) * self.dlat)
+        # reference wr.py:246-247 checks only the northern end; negative
+        # dlat / deep-south sw_lat must not slip sources past the pole.
+        if max(lat_ends) > 89.0 or min(lat_ends) < -89.0:
             raise ValueError("source latitude out of -90~90 range!")
         if self.tstep <= 0 or self.ttotal <= 0:
             raise ValueError("tstep and ttotal must be positive")

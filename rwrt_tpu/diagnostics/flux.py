@@ -122,11 +122,16 @@ def _in_box_arrays(lon, lat, amp, lon_range, lat_range) -> jnp.ndarray:
     fields instead of materializing a full 7-field RayTrajectories."""
     lon_deg = (lon / deg2rad) % 360.0
     lat_deg = lat / deg2rad
-    lo0, lo1 = lon_range[0] % 360.0, lon_range[1] % 360.0
-    if lo1 >= lo0:
-        in_lon = (lon_deg >= lo0) & (lon_deg <= lo1)
-    else:  # box crossing the date line
-        in_lon = (lon_deg >= lo0) | (lon_deg <= lo1)
+    if lon_range[1] - lon_range[0] >= 360.0:
+        # Full circle, e.g. (0, 360) or (-180, 180): every longitude is in
+        # (the modulo form below would collapse it to a single meridian).
+        in_lon = jnp.ones_like(lon_deg, dtype=bool)
+    else:
+        lo0, lo1 = lon_range[0] % 360.0, lon_range[1] % 360.0
+        if lo1 >= lo0:
+            in_lon = (lon_deg >= lo0) & (lon_deg <= lo1)
+        else:  # box crossing the date line
+            in_lon = (lon_deg >= lo0) | (lon_deg <= lo1)
     in_box = in_lon & (lat_deg >= lat_range[0]) & (lat_deg <= lat_range[1])
     return (in_box & jnp.isfinite(lon) & jnp.isfinite(lat)
             & jnp.isfinite(amp))

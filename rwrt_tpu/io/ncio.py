@@ -77,8 +77,13 @@ def load_wind(path: str, read_dtype="float32", *, with_time: bool = False):
                 "(keys u, v, lat, lon) or install netCDF4"
             )
         with _nc.Dataset(path) as ds:
-            u = np.asarray(ds.variables["u"][:], read_dtype)
-            v = np.asarray(ds.variables["v"][:], read_dtype)
+            # netCDF4 auto-masks _FillValue/missing_value cells; fill with
+            # NaN (the pipeline's undef) rather than silently keeping the
+            # raw ~1e36 fill values (np.asarray would drop the mask).
+            u = np.asarray(np.ma.filled(ds.variables["u"][:], np.nan),
+                           read_dtype)
+            v = np.asarray(np.ma.filled(ds.variables["v"][:], np.nan),
+                           read_dtype)
             lat = lon = None
             for name in LAT_CANDIDATES:
                 if name in ds.variables:
@@ -151,22 +156,32 @@ def basic_state_fields(bs: BasicState) -> Dict[str, np.ndarray]:
 
 
 def write_basic_state(bs: BasicState, path: str) -> None:
-    """Write the basic-state diagnostics (reference BS.output, bs.py:461-511)."""
+    """Write the basic-state diagnostics (reference BS.output, bs.py:461-511).
+
+    Time-varying states additionally record bg_t0/bg_dt (seconds) so
+    load_basic_state can restore the frame cadence."""
     fields = basic_state_fields(bs)
     lon_deg = np.asarray(bs.lon) * rad2deg
     lat_deg = np.asarray(bs.lat) * rad2deg
+    time_varying = fields["u"].ndim == 3
     if _is_npz(path) or not HAVE_NETCDF:
         if not _is_npz(path):
             path = str(path) + ".npz"
-        np.savez_compressed(path, lon=lon_deg, lat=lat_deg, **fields)
+        extra = ({"bg_t0": np.float64(bs.bg_t0), "bg_dt": np.float64(bs.bg_dt)}
+                 if time_varying else {})
+        np.savez_compressed(path, lon=lon_deg, lat=lat_deg, **fields, **extra)
         return
-    time_varying = fields["u"].ndim == 3
     with _nc.Dataset(path, "w", format="NETCDF4") as ds:  # pragma: no cover
         ds.createDimension("lon", bs.nlon)
         ds.createDimension("lat", bs.nlat)
         dims = ("lon", "lat")
         if time_varying:
             ds.createDimension("time", fields["u"].shape[0])
+            tv = ds.createVariable("time", "f8", ("time",))
+            tv[:] = bs.bg_t0 + np.arange(fields["u"].shape[0]) * bs.bg_dt
+            tv.units = "seconds"
+            ds.bg_t0 = float(bs.bg_t0)
+            ds.bg_dt = float(bs.bg_dt)
             dims = ("time", "lon", "lat")
         for name, data, unit in (
             ("lon", lon_deg, "degrees_east"), ("lat", lat_deg, "degrees_north")
@@ -238,20 +253,37 @@ def load_basic_state(path: str, *, xcyclic: bool = True,
 
     from rwrt_tpu.models.basic_state import BasicState
 
+    bg_attrs = {}
     if _is_npz(path):
         with np.load(path) as ds:
             data = {k: np.asarray(ds[k]) for k in ds.files}
+        for k in ("bg_t0", "bg_dt"):
+            if k in data:
+                bg_attrs[k] = float(data.pop(k))
     else:
         if not HAVE_NETCDF:
             raise RuntimeError("netCDF4 not installed; use the .npz format")
         with _nc.Dataset(path) as ds:  # pragma: no cover
             data = {k: np.asarray(v[:]) for k, v in ds.variables.items()}
+            for k in ("bg_t0", "bg_dt"):
+                if hasattr(ds, k):
+                    bg_attrs[k] = float(getattr(ds, k))
 
     lat = np.asarray(data["lat"], np.float64) * deg2rad
     lon = np.asarray(data["lon"], np.float64) * deg2rad
     stack = np.stack([data[name] for name in FIELD_NAMES], axis=-1)
+    time_varying = stack.ndim == 4
+    if time_varying and "bg_dt" not in bg_attrs:
+        raise ValueError(
+            "time-varying basic-state file lacks bg_t0/bg_dt metadata "
+            "(written by an older version?); re-create it with "
+            "write_basic_state or prepare_time_varying from the wind input"
+        )
     if xcyclic:
-        stack = np.concatenate([stack, stack[0:1]], axis=0)
+        # Wrap column along LONGITUDE (axis 1 for (T, nlon, nlat, C) stacks).
+        lon_axis = 1 if time_varying else 0
+        wrap = np.take(stack, [0], axis=lon_axis)
+        stack = np.concatenate([stack, wrap], axis=lon_axis)
     return BasicState(
         fields=jnp.asarray(stack, cal_dtype),
         lon=jnp.asarray(lon, cal_dtype),
@@ -260,6 +292,7 @@ def load_basic_state(path: str, *, xcyclic: bool = True,
         ks=jnp.asarray(data["KS"], cal_dtype),
         q=jnp.asarray(data["q"], cal_dtype),
         xcyclic=xcyclic,
+        **bg_attrs,
     )
 
 

@@ -161,6 +161,14 @@ def _write_report(report: dict, path: str, verbose: bool) -> None:
         print(f"wrote run report to {path}")
 
 
+def _finish_report(report: dict, path: str, verbose: bool,
+                   grid: dict, wall: dict) -> None:
+    """Common tail of the run report (single runs and ensembles alike)."""
+    report["grid"] = grid
+    report["wall_s"] = {k: round(v, 4) for k, v in wall.items()}
+    _write_report(report, path, verbose)
+
+
 def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
         chunked: bool = False, checkpoint_path: Optional[str] = None,
         wnmaps_path: Optional[str] = None,
@@ -222,17 +230,17 @@ def run(config: RunConfig, paths: RunPaths, *, mesh=None, verbose: bool = True,
             print(f"wrote wavenumber maps to {wnmaps_path}")
     if report is not None:
         t_end = time.perf_counter()
-        report["grid"] = {"nlon": int(bs.nlon), "nlat": int(bs.nlat),
-                          "time_varying": bool(bs.fields.ndim == 4)}
         report["trajectories"] = _traj_summary(
             traj, config, bs if report_exact_causes else None)
-        report["wall_s"] = {
-            "prepare": round(t_prepare - t_start, 4),
-            "trace": round(t_trace - t_prepare, 4),
-            "io": round(t_end - t_trace, 4),
-            "total": round(t_end - t_start, 4),
-        }
-        _write_report(report, report_path, verbose)
+        _finish_report(
+            report, report_path, verbose,
+            grid={"nlon": int(bs.nlon), "nlat": int(bs.nlat),
+                  "time_varying": bool(bs.fields.ndim == 4)},
+            wall={"prepare": t_prepare - t_start,
+                  "trace": t_trace - t_prepare,
+                  "io": t_end - t_trace,
+                  "total": t_end - t_start},
+        )
     return traj
 
 
@@ -254,38 +262,67 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
     from rwrt_tpu.tracer import trace_rays_ensemble
 
     report = _report_skeleton(config, paths, mesh) if report_path else None
-    t_start = time.perf_counter()
-    members = [_load_and_prepare(p, config) for p in paths.inputuv]
-    t_prepare = time.perf_counter()
-    shapes = {(m.nlon, m.nlat) for m in members}
-    if len(shapes) != 1:
-        raise ValueError(
-            f"ensemble members must share one grid shape, got {sorted(shapes)}"
-        )
-    if len({m.fields.ndim for m in members}) != 1:
-        raise ValueError(
-            "ensemble members must be all static or all time-varying "
-            "(mixed 2-D and 3-D input winds)"
-        )
-    if verbose:
-        run_banner(config, members[0].nlon, members[0].nlat)
-        print(f"ensemble sweep: {len(members)} members")
-    for i, m in enumerate(members):
+    n_members = len(paths.inputuv)
+    grid0 = None  # (nlon, nlat, fields_ndim) of member 0
+
+    def _check_member(m, i):
+        nonlocal grid0
+        if grid0 is None:
+            grid0 = (m.nlon, m.nlat, m.fields.ndim)
+            if verbose:
+                run_banner(config, m.nlon, m.nlat)
+                print(f"ensemble sweep: {n_members} members")
+        else:
+            if (m.nlon, m.nlat) != grid0[:2]:
+                raise ValueError(
+                    f"ensemble members must share one grid shape: member "
+                    f"{i} is {(m.nlon, m.nlat)}, member 0 is {grid0[:2]}"
+                )
+            if m.fields.ndim != grid0[2]:
+                raise ValueError(
+                    "ensemble members must be all static or all "
+                    "time-varying (mixed 2-D and 3-D input winds)"
+                )
         bsfile = _member_path(paths.bsfile, i)
         if bsfile:
             ncio.write_basic_state(m, bsfile)
+
+    t_start = time.perf_counter()
+    member_reports = []
     if chunked or checkpoint_path:
+        # The chunked path exists to bound device memory, so members are
+        # prepared one at a time INSIDE the loop (all-up-front would hold
+        # every member's full field stack on device simultaneously).
         trajs = []
-        for i, m in enumerate(members):
+        prepare_s = 0.0
+        for i, p in enumerate(paths.inputuv):
+            t0 = time.perf_counter()
+            m = _load_and_prepare(p, config)
+            prepare_s += time.perf_counter() - t0
+            _check_member(m, i)
             if verbose:
-                print(f"member {i}/{len(members)} (chunked)")
-            trajs.append(trace_rays_chunked(
+                print(f"member {i}/{n_members} (chunked)")
+            traj = trace_rays_chunked(
                 m, config, checkpoint_path=_member_path(checkpoint_path, i),
                 verbose=verbose, mesh=mesh,
-            ))
+            )
+            trajs.append(traj)
+            if report is not None:
+                member_reports.append(_traj_summary(
+                    traj, config, m if report_exact_causes else None))
+        t_trace = time.perf_counter()
+        t_prepare = t_start + prepare_s  # prepare time interleaves the loop
     else:
+        members = [_load_and_prepare(p, config) for p in paths.inputuv]
+        t_prepare = time.perf_counter()
+        for i, m in enumerate(members):
+            _check_member(m, i)
         trajs = trace_rays_ensemble(members, config, mesh=mesh)
-    t_trace = time.perf_counter()
+        t_trace = time.perf_counter()
+        if report is not None:
+            member_reports = [
+                _traj_summary(t, config, m if report_exact_causes else None)
+                for t, m in zip(trajs, members)]
     for i, traj in enumerate(trajs):
         ncfile = _member_path(paths.ncfile, i)
         if ncfile:
@@ -294,18 +331,15 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
                 print(f"wrote member {i} trajectories to {ncfile}")
     if report is not None:
         t_end = time.perf_counter()
-        report["grid"] = {"nlon": int(members[0].nlon),
-                          "nlat": int(members[0].nlat),
-                          "time_varying": bool(members[0].fields.ndim == 4)}
-        report["n_members"] = len(members)
-        report["members"] = [
-            _traj_summary(t, config, m if report_exact_causes else None)
-            for t, m in zip(trajs, members)]
-        report["wall_s"] = {
-            "prepare": round(t_prepare - t_start, 4),
-            "trace": round(t_trace - t_prepare, 4),
-            "io": round(t_end - t_trace, 4),
-            "total": round(t_end - t_start, 4),
-        }
-        _write_report(report, report_path, verbose)
+        report["n_members"] = n_members
+        report["members"] = member_reports
+        _finish_report(
+            report, report_path, verbose,
+            grid={"nlon": int(grid0[0]), "nlat": int(grid0[1]),
+                  "time_varying": bool(grid0[2] == 4)},
+            wall={"prepare": t_prepare - t_start,
+                  "trace": t_trace - t_prepare,
+                  "io": t_end - t_trace,
+                  "total": t_end - t_start},
+        )
     return trajs

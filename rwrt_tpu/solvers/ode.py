@@ -203,6 +203,15 @@ def solve_ivp_batched(
     else:
         h = jnp.full(n, first_step, dtype)
     status = jnp.zeros(n, jnp.int8)
+    # A lane whose initial state or first RHS sample is non-finite can never
+    # integrate; without this it would get h = NaN and spin every interval's
+    # while_loop to max_iters (NaN compares False against every exit test).
+    # Freeze it at NaN with status 1 up front (rk45.integrate_interval's
+    # done-on-NaN guard, specialized to initialization).
+    bad0 = ~(jnp.isfinite(y0).all(axis=0) & jnp.isfinite(k1).all(axis=0))
+    status = jnp.where(bad0, jnp.int8(1), status)
+    y0 = jnp.where(bad0[None, :], jnp.nan, y0)
+    h = jnp.where(bad0, min_step, h)
 
     def interval(carry, t_bound):
         y, t, h, k1, status, nfev, iters = carry

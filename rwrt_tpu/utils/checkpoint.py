@@ -35,6 +35,20 @@ from rwrt_tpu.tracer import (
 from rwrt_tpu.utils.observability import Progress, run_banner
 
 
+def _take_lanes(arr, idx, mesh):
+    """Gather along the trailing lane axis; reshard when running on a mesh.
+
+    The one helper behind every lane reorder/subset in the chunked driver
+    (resorting, mid-run compaction) so the set of carries each site must
+    permute stays the only difference between them."""
+    out = jnp.take(arr, jnp.asarray(idx), axis=-1)
+    if mesh is not None:
+        from rwrt_tpu.parallel import sharding as _sh
+
+        out = _sh.shard_rays(out, mesh)
+    return out
+
+
 def _save(path, step, y, t, h, hist, lanes, n_rays):
     tmp = path + ".tmp.npz"
     np.savez_compressed(
@@ -160,60 +174,15 @@ def trace_rays_chunked(
         lane_to_ray != np.arange(n_rays)).any()
     hist_w = max(n_rays, int(lane_to_ray.max()) + 1 if n_lanes else n_rays)
     hist_dtype = np.asarray(y0).dtype
-    if stream_dir:
-        os.makedirs(stream_dir, exist_ok=True)
-        resuming = bool(checkpoint_path and resume
-                        and os.path.exists(checkpoint_path))
 
-        def _alloc(k):
-            path = os.path.join(stream_dir, f"{k}.npy")
-            old = None
-            if resuming and os.path.exists(path):
-                try:
-                    old = np.load(path, mmap_mode="r")
-                except (ValueError, OSError):
-                    old = None
-                if old is not None and (old.ndim != 2
-                                        or old.shape[1] != hist_w):
-                    old = None
-            m = np.lib.format.open_memmap(
-                path + ".new", mode="w+", dtype=hist_dtype,
-                shape=(nt, hist_w))
-            m[:] = np.nan
-            if old is not None:
-                rows = min(old.shape[0], nt)
-                m[:rows] = old[:rows]
-                del old
-            m.flush()
-            # The mapping follows the inode, so the rename keeps m valid.
-            os.replace(path + ".new", path)
-            return m
-
-        hist = {k: _alloc(k)
-                for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")}
-    else:
-        hist = {
-            k: np.full((nt, hist_w), np.nan, hist_dtype)
-            for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
-        }
-    for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
-        hist[k][0, :n_rays] = np.asarray(y0_full[i])
-    hist["ug"][0, :n_rays] = np.asarray(ug0_full)
-    hist["vg"][0, :n_rays] = np.asarray(vg0_full)
-    if compacted and config.integrator == "rk45":
-        # The adaptive solver freezes rootless lanes at their seed state
-        # forever (finite lon/lat/kx, NaN ky/amp/ug/vg; reference
-        # rkf45.py:400-403); fill those rows up front. RK4 NaNs them at
-        # step 1 (reference wr.py:593-618) -- the default NaN prefill.
-        frozen = ~np.isfinite(np.asarray(y0_full[4]))
-        for i, k in enumerate(("lon", "lat", "kx")):
-            hist[k][1:, :n_rays][:, frozen] = (
-                np.asarray(y0_full[i])[frozen][None])
-
+    # Load and VALIDATE any checkpoint before touching the stream files:
+    # a rejected resume (mismatched source config / mesh) must raise while
+    # the user's streamed history from the original run is still intact.
     y = y0
     t = jnp.zeros(n_lanes, dtype)
     h = None
     start = 1
+    hist_l = {}
 
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
         step, y_np, t_np, h_np, hist_l, lanes_np, n_rays_ck = _load(
@@ -284,12 +253,63 @@ def trace_rays_chunked(
             t = jnp.take(jnp.asarray(t_np), jnp.asarray(rank))
             h = (jnp.take(jnp.asarray(h_np), jnp.asarray(rank))
                  if h_np.ndim else None)
-        # Streamed runs keep their history in the stream_dir memmaps (the
-        # checkpoint then carries no hist_* arrays).
-        for k in hist_l:
-            hist[k][: hist_l[k].shape[0]] = hist_l[k]
         if verbose:
             print(f"resumed from {checkpoint_path} at step {start}")
+
+    if stream_dir:
+        os.makedirs(stream_dir, exist_ok=True)
+        resuming = bool(checkpoint_path and resume
+                        and os.path.exists(checkpoint_path))
+
+        def _alloc(k):
+            path = os.path.join(stream_dir, f"{k}.npy")
+            old = None
+            if resuming and os.path.exists(path):
+                try:
+                    old = np.load(path, mmap_mode="r")
+                except (ValueError, OSError):
+                    old = None
+                if old is not None and (old.ndim != 2
+                                        or old.shape[1] != hist_w):
+                    old = None
+            m = np.lib.format.open_memmap(
+                path + ".new", mode="w+", dtype=hist_dtype,
+                shape=(nt, hist_w))
+            m[:] = np.nan
+            if old is not None:
+                rows = min(old.shape[0], nt)
+                m[:rows] = old[:rows]
+                del old
+            m.flush()
+            # The mapping follows the inode, so the rename keeps m valid.
+            os.replace(path + ".new", path)
+            return m
+
+        hist = {k: _alloc(k)
+                for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")}
+    else:
+        hist = {
+            k: np.full((nt, hist_w), np.nan, hist_dtype)
+            for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg")
+        }
+    for i, k in enumerate(("lon", "lat", "kx", "ky", "amp")):
+        hist[k][0, :n_rays] = np.asarray(y0_full[i])
+    hist["ug"][0, :n_rays] = np.asarray(ug0_full)
+    hist["vg"][0, :n_rays] = np.asarray(vg0_full)
+    if compacted and config.integrator == "rk45":
+        # The adaptive solver freezes rootless lanes at their seed state
+        # forever (finite lon/lat/kx, NaN ky/amp/ug/vg; reference
+        # rkf45.py:400-403); fill those rows up front. RK4 NaNs them at
+        # step 1 (reference wr.py:593-618) -- the default NaN prefill.
+        frozen = ~np.isfinite(np.asarray(y0_full[4]))
+        for i, k in enumerate(("lon", "lat", "kx")):
+            hist[k][1:, :n_rays][:, frozen] = (
+                np.asarray(y0_full[i])[frozen][None])
+
+    # Apply checkpointed history rows (streamed runs keep their history in
+    # the stream_dir memmaps; the checkpoint then carries no hist_* arrays).
+    for k in hist_l:
+        hist[k][: hist_l[k].shape[0]] = hist_l[k]
 
     if config.integrator == "rk45" and h is None:
         h = initial_step_sizes(bg, y, rtol, atol)
@@ -330,16 +350,8 @@ def trace_rays_chunked(
             return
         lane_to_ray = lane_to_ray[order]
 
-        def perm(a, axis=-1):
-            arr = jnp.take(a, jnp.asarray(order), axis=axis)
-            return sh_shard(arr)
-
-        def sh_shard(a):
-            if mesh is not None:
-                from rwrt_tpu.parallel import sharding as sh
-
-                return sh.shard_rays(a, mesh)
-            return a
+        def perm(a):
+            return _take_lanes(a, order, mesh)
 
         y = perm(y)
         t = perm(t)
@@ -538,17 +550,11 @@ def trace_rays_chunked(
                 keep = np.flatnonzero(alive)
                 filler = np.flatnonzero(~alive)[: target - n_alive]
                 kept = np.sort(np.concatenate([keep, filler]))
-                take = jnp.asarray(kept)
                 lane_to_ray = lane_to_ray[kept]
                 n_lanes = int(kept.shape[0])
 
                 def _pick(a):
-                    arr = jnp.take(a, take, axis=-1)
-                    if mesh is not None:
-                        from rwrt_tpu.parallel import sharding as _sh
-
-                        arr = _sh.shard_rays(arr, mesh)
-                    return arr
+                    return _take_lanes(a, kept, mesh)
 
                 y = _pick(y)
                 t = _pick(t)

@@ -2,6 +2,8 @@
 grids, blockwise (memmap-safe) termination accounting, empty-region WRF
 output parity."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -10,6 +12,7 @@ from rwrt_tpu.config import RunConfig
 from rwrt_tpu.diagnostics import spectral
 from rwrt_tpu.diagnostics.termination import analyze, death_steps
 from rwrt_tpu.tracer import RayTrajectories
+from rwrt_tpu.utils.checkpoint import trace_rays_chunked
 
 HOUR, DAY = 3600.0, 86400.0
 
@@ -184,3 +187,121 @@ def test_validate_rejects_degenerate_settings(overrides, match):
     cfg = RunConfig(**{**CFG, **overrides})
     with pytest.raises(ValueError, match=match):
         cfg.validate()
+
+
+def _assert_traj_equal(a, b, atol=0.0):
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, k)), np.asarray(getattr(b, k)),
+            rtol=0, atol=atol, equal_nan=True, err_msg=k,
+        )
+
+
+# ---- round-2 second review pass (repo-wide) regression tests ----
+
+
+def test_ode_nan_lane_does_not_spin():
+    """A lane with non-finite y0 freezes at NaN with status 1 immediately;
+    without the init guard its h became NaN and every interval's while_loop
+    ran to max_iters."""
+    import jax.numpy as jnp
+
+    from rwrt_tpu.solvers.ode import solve_ivp_batched
+
+    def f(t, y):
+        return -y
+
+    y0 = jnp.asarray([[1.0, jnp.nan, 2.0]])
+    sol = solve_ivp_batched(f, y0, jnp.asarray([0.5, 1.0]), max_iters=2_000)
+    assert int(sol.status[1]) == 1
+    assert np.isnan(np.asarray(sol.ys)[:, 0, 1]).all()
+    # Healthy lanes unaffected and cheap (a NaN-spun lane would dominate).
+    assert int(sol.status[0]) == 0 and int(sol.status[2]) == 0
+    np.testing.assert_allclose(np.asarray(sol.ys)[-1, 0, 0], np.exp(-1.0),
+                               rtol=1e-6)
+    assert int(sol.iters) < 200
+
+
+def test_flux_full_circle_longitude_range():
+    """lon_range spanning the full circle selects every longitude (it used
+    to collapse to the single meridian lon == lo0)."""
+    from rwrt_tpu.diagnostics import flux
+    from rwrt_tpu.tracer import RayTrajectories
+    import jax.numpy as jnp
+
+    shape = (1, 3, 1, 1)
+    lon = np.full(shape, np.nan)
+    lat = np.full(shape, np.nan)
+    lon[0, :, 0, 0] = np.radians([10.0, 170.0, 350.0])
+    lat[0, :, 0, 0] = np.radians([30.0, 30.0, 30.0])
+    amp = np.where(np.isfinite(lon), 1.0, np.nan)
+    traj = RayTrajectories(*(jnp.asarray(a) for a in
+                             (lon, lat, lon, lon, amp, amp, amp)))
+    for rng in ((0.0, 360.0), (-180.0, 180.0)):
+        mask = np.asarray(flux.region_mask(traj, rng, (0.0, 60.0)))
+        assert mask.all(), rng
+
+
+def test_config_rejects_southern_overrun():
+    """Negative dlat / deep-south sw_lat must not seed past the pole (the
+    reference guard checks only the northern end)."""
+    from rwrt_tpu.config import RunConfig
+
+    with pytest.raises(ValueError, match="source latitude"):
+        RunConfig(zwn=(3.0,), sw_lat=-80.0, dlat=-2.0, nny=15,
+                  sw_lon=0.0, dlon=1.0, nnx=1,
+                  tstep=7200.0, ttotal=86400.0).validate()
+    # Northern check still active.
+    with pytest.raises(ValueError, match="source latitude"):
+        RunConfig(zwn=(3.0,), sw_lat=80.0, dlat=2.0, nny=15,
+                  sw_lon=0.0, dlon=1.0, nnx=1,
+                  tstep=7200.0, ttotal=86400.0).validate()
+
+
+def test_load_basic_state_time_varying_roundtrip(tmp_path, jet_field):
+    """write_basic_state/load_basic_state round-trip a TIME-VARYING state:
+    the wrap column goes on the longitude axis (it used to be concatenated
+    along TIME, silently corrupting the stack) and bg_t0/bg_dt survive."""
+    from rwrt_tpu.io import ncio
+
+    u, v, lat, lon = jet_field
+    tv = rt.prepare_time_varying(
+        np.stack([u, u * 1.1]), np.stack([v, v]), lat, lon,
+        bg_t0=3600.0, bg_dt=43200.0, cal_dtype="float64")
+    path = str(tmp_path / "bs_tv.npz")
+    ncio.write_basic_state(tv, path)
+    back = ncio.load_basic_state(path, cal_dtype="float64")
+    assert back.fields.shape == tv.fields.shape
+    np.testing.assert_allclose(np.asarray(back.fields), np.asarray(tv.fields),
+                               rtol=0, atol=1e-12, equal_nan=True)
+    assert back.bg_t0 == 3600.0 and back.bg_dt == 43200.0
+    # Trajectories through the reloaded state match the original.
+    cfg = RunConfig(zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+                    nnx=2, nny=1, tstep=7200.0, ttotal=2 * 86400.0,
+                    integrator="rk45", cal_dtype="float64")
+    _assert_traj_equal(rt.trace_rays(back, cfg), rt.trace_rays(tv, cfg),
+                       atol=0.0)
+
+
+def test_streamed_history_survives_rejected_resume(tmp_path, jet_field):
+    """A resume rejected by checkpoint validation must NOT have wiped the
+    streamed trajectory memmaps (validation now precedes any file
+    mutation)."""
+    u, v, lat, lon = jet_field
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    sd = str(tmp_path / "stream")
+    ck = str(tmp_path / "ck.npz")
+    small = RunConfig(zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0,
+                      dlat=1.0, nnx=2, nny=1, tstep=7200.0,
+                      ttotal=2 * 86400.0, integrator="rk45",
+                      cal_dtype="float64")
+    trace_rays_chunked(bs, small, chunk_steps=8, verbose=False,
+                       checkpoint_path=ck, stream_dir=sd)
+    lon_before = np.load(os.path.join(sd, "lon.npy")).copy()
+    assert np.isfinite(lon_before).any()
+    bigger = RunConfig(**{**small.__dict__, "nny": 3})
+    with pytest.raises(ValueError):
+        trace_rays_chunked(bs, bigger, chunk_steps=8, verbose=False,
+                           checkpoint_path=ck, stream_dir=sd)
+    lon_after = np.load(os.path.join(sd, "lon.npy"))
+    np.testing.assert_array_equal(lon_before, lon_after)
