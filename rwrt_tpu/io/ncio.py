@@ -117,7 +117,18 @@ def load_wind(path: str, read_dtype="float32", *, with_time: bool = False):
     # (lat, lon) -> (lon, lat) (reference bs.py:245-247).
     u = np.moveaxis(u, -1, -2)
     v = np.moveaxis(v, -1, -2)
-    out = (u, v, np.ascontiguousarray(lat) * deg2rad,
+    # Normalize the longitude convention to 0-based ascending (0..360):
+    # the device samplers index the field stack as (lon mod 2*pi)/dx from
+    # column 0, so a -180..180 input grid must be rolled so its 0-degree
+    # column comes first (exact: the grid is periodic in lon).
+    lon_mod = np.asarray(lon, np.float64) % 360.0
+    k = int(np.argmin(lon_mod))
+    if k != 0 or lon_mod[0] != lon[0]:
+        lon = np.roll(lon_mod, -k)
+        u = np.roll(u, -k, axis=-2)
+        v = np.roll(v, -k, axis=-2)
+    out = (np.ascontiguousarray(u), np.ascontiguousarray(v),
+           np.ascontiguousarray(lat) * deg2rad,
            np.ascontiguousarray(lon) * deg2rad)
     return out + (times,) if with_time else out
 

@@ -63,6 +63,7 @@ int cpoly_roots(int degree, const double* coef_re, const double* coef_im,
   }
 
   // Aberth-Ehrlich simultaneous iteration.
+  bool converged = false;
   for (int it = 0; it < max_iter; ++it) {
     double max_step = 0.0;
     for (int i = 0; i < degree; ++i) {
@@ -80,8 +81,12 @@ int cpoly_roots(int degree, const double* coef_re, const double* coef_im,
       z[i] -= step;
       max_step = std::max(max_step, std::abs(step));
     }
-    if (max_step < tol * (1.0 + radius)) break;
+    if (max_step < tol * (1.0 + radius)) {
+      converged = true;
+      break;
+    }
   }
+  if (!converged) return 3;  // out of iterations: roots are not trustworthy
 
   // One Newton polish per root.
   for (int i = 0; i < degree; ++i) {

@@ -453,3 +453,37 @@ def test_wnmaps_time_varying_through_cli_surface(tmp_path, jet_field):
         assert ds["rootnum"].shape == (2, u.shape[0], u.shape[1], 1)
         assert ds["KS"].shape == (2, u.shape[0], u.shape[1])
         np.testing.assert_allclose(ds["time"], [0.0, DAY])
+
+
+def test_load_wind_normalizes_negative_longitudes(tmp_path, jet_field):
+    """A -180..180 input grid is rolled to the 0-based convention the device
+    samplers index by (exact: the grid is periodic); trajectories equal the
+    same field stored 0..360."""
+    u, v, lat, lon = jet_field  # (nlon, nlat), lon 0-based ascending radians
+    nlon = lon.shape[0]
+    k = nlon // 2
+    lon_neg = np.degrees(lon).copy()
+    lon_neg[lon_neg >= 180.0] -= 360.0
+    lon_neg = np.roll(lon_neg, k)          # ascending -180..180
+    u_neg = np.roll(u, k, axis=0)
+    v_neg = np.roll(v, k, axis=0)
+    assert lon_neg[0] < 0.0 and np.all(np.diff(lon_neg) > 0)
+
+    p_neg = str(tmp_path / "wneg.npz")
+    p_pos = str(tmp_path / "wpos.npz")
+    np.savez(p_neg, u=u_neg.T, v=v_neg.T, lat=np.degrees(lat), lon=lon_neg)
+    np.savez(p_pos, u=u.T, v=v.T, lat=np.degrees(lat), lon=np.degrees(lon))
+
+    got = ncio.load_wind(p_neg, "float64")
+    ref = ncio.load_wind(p_pos, "float64")
+    np.testing.assert_allclose(got[3], ref[3], atol=1e-12)  # lon 0-based
+    np.testing.assert_allclose(got[0], ref[0], atol=0)
+    np.testing.assert_allclose(got[1], ref[1], atol=0)
+
+    cfg = RunConfig(zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+                    nnx=2, nny=1, tstep=7200.0, ttotal=2 * DAY,
+                    integrator="rk45", cal_dtype="float64")
+    ta = run(cfg, RunPaths(inputuv=p_neg, ncfile=None), verbose=False)
+    tb = run(cfg, RunPaths(inputuv=p_pos, ncfile=None), verbose=False)
+    np.testing.assert_array_equal(np.asarray(ta.lat), np.asarray(tb.lat))
+    np.testing.assert_array_equal(np.asarray(ta.lon), np.asarray(tb.lon))

@@ -305,3 +305,27 @@ def test_streamed_history_survives_rejected_resume(tmp_path, jet_field):
                            checkpoint_path=ck, stream_dir=sd)
     lon_after = np.load(os.path.join(sd, "lon.npy"))
     np.testing.assert_array_equal(lon_before, lon_after)
+
+
+def test_ensemble_rk4_fortran_order_refused(tmp_path, jet_field):
+    """The fused ensemble rk4 path cannot honor root_order='fortran' (host
+    slot ordering cannot run under vmap); it must refuse rather than
+    silently downgrade to canonical order. The chunked path supports it."""
+    from rwrt_tpu.main import RunPaths, run
+
+    u, v, lat, lon = jet_field
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"w{i}.npz")
+        np.savez(p, u=u.T * (1.0 + 0.1 * i), v=v.T,
+                 lat=np.degrees(lat), lon=np.degrees(lon))
+        paths.append(p)
+    cfg = RunConfig(zwn=(3.0,), sw_lon=10.0, sw_lat=20.0, dlon=1.0, dlat=1.0,
+                    nnx=2, nny=1, tstep=7200.0, ttotal=86400.0,
+                    integrator="rk4", root_order="fortran",
+                    cal_dtype="float64")
+    with pytest.raises(ValueError, match="chunked"):
+        run(cfg, RunPaths(inputuv=paths), verbose=False)
+    # The chunked path accepts it.
+    trajs = run(cfg, RunPaths(inputuv=paths), verbose=False, chunked=True)
+    assert len(trajs) == 2
