@@ -807,10 +807,7 @@ def initial_step_sizes(bg, y0, rtol, atol):
 
 @functools.partial(jax.jit, static_argnames=("nt",))
 def _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off):
-    ys, ugs, vgs = rk4_mod.trace(bg, y0, dt, nt, cut_off)
-    ugs = ugs.at[0].set(ug0)
-    vgs = vgs.at[0].set(vg0)
-    return ys, ugs, vgs
+    return rk4_mod.trace(bg, y0, dt, nt, cut_off, ug0, vg0)
 
 
 @functools.partial(jax.jit, static_argnames=("nt", "max_iters"))
@@ -1293,12 +1290,19 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
 
     if config.integrator == "rk4":
         bgs = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        # Initialize per member on host (NOT under the vmap): the fortran
+        # root_order runs host-side slot reordering that cannot trace, and
+        # silently downgrading to canonical order defeats its purpose.
+        inits = [initialize(bg, source_lon, source_lat, zwn,
+                            config.root_order) for bg in members]
+        y0s = jnp.stack([i[0] for i in inits])
+        ug0s = jnp.stack([i[1] for i in inits])
+        vg0s = jnp.stack([i[2] for i in inits])
 
-        def run_one(bg):
-            y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+        def run_one(bg, y0, ug0, vg0):
             return _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
 
-        ys, ugs, vgs = jax.vmap(run_one)(bgs)
+        ys, ugs, vgs = jax.vmap(run_one)(bgs, y0s, ug0s, vg0s)
         return [
             _traj_from(ys[i], ugs[i], vgs[i],
                        lambda a: a.reshape(out_shape))
