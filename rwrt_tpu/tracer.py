@@ -1171,6 +1171,18 @@ def trace_rays(
         bg = sh.replicate(bg, mesh)
 
     nt = config.nt
+    if config.state_dtype == "float64":
+        # Mixed precision (DESIGN.md section 7): wide state/controller, the
+        # background sample and RHS algebra stay in cal_dtype (the RHS casts
+        # at entry, models/ray.py). The cast is exact; with dtypes equal
+        # (cal_dtype float64) this is a no-op.
+        y0 = y0.astype(jnp.float64)
+        if y0.dtype != jnp.float64:
+            raise RuntimeError(
+                "state_dtype='float64' needs jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))"
+            )
+        dtype = y0.dtype
     dt = jnp.asarray(config.tstep, dtype)
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
 
@@ -1213,9 +1225,13 @@ def trace_rays(
         # err mask does not flag NaN ky; reference wr.py:593-618 -> all-NaN
         # from step 1). (ug, vg) are NaN beyond step 0 either way.
         if config.integrator == "rk45":
-            ys_f = jnp.broadcast_to(y0_full[None], (nt,) + y0_full.shape)
+            # ys.dtype, not y0_full.dtype: under state_dtype='float64' the
+            # integrated history is wider than the (cal_dtype) seeds and a
+            # narrower scatter target would silently round it back.
+            ys_f = jnp.broadcast_to(y0_full[None].astype(ys.dtype),
+                                    (nt,) + y0_full.shape)
         else:
-            ys_f = jnp.full((nt,) + y0_full.shape, jnp.nan, y0_full.dtype)
+            ys_f = jnp.full((nt,) + y0_full.shape, jnp.nan, ys.dtype)
             ys_f = ys_f.at[0].set(y0_full)
         ys = ys_f.at[..., take].set(ys[..., :n_lanes])
         gv_f = jnp.full((nt, n_rays), jnp.nan, ys.dtype)
