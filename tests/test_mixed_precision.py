@@ -68,3 +68,33 @@ def test_state_dtype_validation():
         RunConfig(zwn=(3.0,), sw_lon=0.0, sw_lat=10.0, dlon=1.0, dlat=1.0,
                   nnx=1, nny=1, tstep=7200.0, ttotal=DAY,
                   state_dtype="float128").validate()
+
+
+def test_mixed_precision_chunked_equals_fused(sheared_jet, tmp_path):
+    """The chunked/checkpointed driver carries the wide state identically
+    to the fused runner (including across a checkpoint resume)."""
+    from rwrt_tpu.utils.checkpoint import trace_rays_chunked
+
+    u, v, lat, lon = sheared_jet
+    bs = rt.prepare(u, v, lat, lon, cal_dtype="float32")
+    cfg = RunConfig(integrator="rk45", cal_dtype="float32",
+                    state_dtype="float64",
+                    **{**CFG, "ttotal": 4 * DAY})
+    fused = rt.trace_rays(bs, cfg)
+    chunked = trace_rays_chunked(bs, cfg, chunk_steps=13, verbose=False)
+    for k in ("lon", "lat", "kx", "ky", "amp"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, k)), np.asarray(getattr(chunked, k)),
+            err_msg=k)
+    # resume mid-run equals uninterrupted
+    ck = str(tmp_path / "ck.npz")
+    partial = dataclasses.replace(cfg, ttotal=2 * DAY)
+    trace_rays_chunked(bs, partial, chunk_steps=8, verbose=False,
+                       checkpoint_path=ck)
+    resumed = trace_rays_chunked(bs, cfg, chunk_steps=8, verbose=False,
+                                 checkpoint_path=ck)
+    full = trace_rays_chunked(bs, cfg, chunk_steps=8, verbose=False)
+    for k in ("lon", "lat", "ky"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(resumed, k)), np.asarray(getattr(full, k)),
+            err_msg=k)
