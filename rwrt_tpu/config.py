@@ -130,6 +130,14 @@ class RunConfig:
     # dtypes: read (ingest) and compute.
     read_dtype: str = "float32"
     cal_dtype: str = "float32"
+    # Integrated-state dtype: 'compute' (= cal_dtype, the default) or
+    # 'float64' for mixed precision -- the background sample and RHS algebra
+    # stay in cal_dtype (the throughput path), while the state accumulation
+    # y + h*sum(b_i k_i) and the controller's (t, h) run in float64,
+    # removing the dominant f32 error source (per-step state rounding
+    # compounding through chaotic dynamics; docs/DESIGN.md section 7).
+    # Requires jax_enable_x64 when 'float64'.
+    state_dtype: str = "compute"
     # Devices along the ray-sharding mesh axis; None = all local devices.
     mesh_devices: Optional[int] = None
 
@@ -159,6 +167,8 @@ class RunConfig:
             raise ValueError(f"unknown integrator {self.integrator!r}")
         if self.root_order not in ("canonical", "fortran"):
             raise ValueError(f"unknown root_order {self.root_order!r}")
+        if self.state_dtype not in ("compute", "float64"):
+            raise ValueError(f"unknown state_dtype {self.state_dtype!r}")
         if self.nnx * self.nny < 1:
             raise ValueError("empty source matrix")
         lat_ends = (self.sw_lat, self.sw_lat + (self.nny - 1) * self.dlat)

@@ -259,16 +259,6 @@ def _run_ensemble(config: RunConfig, paths: RunPaths, *, mesh, verbose,
             "wnmaps is a single-background diagnostic; compute it per "
             "member via compute_wavenumber_maps"
         )
-    if config.root_order == "fortran" and config.integrator == "rk4" and not (
-            chunked or checkpoint_path):
-        # The fused ensemble rk4 path initializes under vmap, where the
-        # host-side fortran slot ordering cannot run; refuse rather than
-        # silently downgrade to canonical order. The chunked path (one
-        # member at a time) supports it.
-        raise ValueError(
-            "root_order='fortran' with integrator='rk4' needs the chunked "
-            "ensemble path; pass chunked=True (CLI: --chunked)"
-        )
     from rwrt_tpu.tracer import trace_rays_ensemble
 
     report = _report_skeleton(config, paths, mesh) if report_path else None

@@ -224,6 +224,28 @@ def _prepare_jit(u, v, lat, dx, dy, xcyclic: bool):
     return fields, betam, ks, q
 
 
+def _roll_lon_canonical(u, v, lon):
+    """Roll the grid so longitude starts at its smallest value mod 2*pi.
+
+    Exact (the grid is periodic in lon), and REQUIRED for grids whose lon
+    does not start at 0 (e.g. the -180..180 convention): the reference's
+    index-anchored edge quirks (smth9 leaves its border columns unsmoothed,
+    bs.py:291-305; the mixed xy derivative copies edge columns,
+    bs.py:168-195) would otherwise anchor at an arbitrary input roll, and
+    the samplers index the stack as (lon - lon0) mod 2*pi from column 0.
+    After the roll, grids in any convention compute the identical basic
+    state (quirks anchored at the 0-degree seam, where the reference's own
+    loader always puts them). Rolls along the last-but-one axis so 2-D
+    (nlon, nlat) and 3-D (T, nlon, nlat) stacks both work.
+    """
+    lon = np.asarray(lon, np.float64) % (2.0 * pi)
+    k = int(np.argmin(lon))
+    if k == 0:
+        return u, v, lon
+    return (jnp.roll(u, -k, axis=-2), jnp.roll(v, -k, axis=-2),
+            np.roll(lon, -k))
+
+
 def prepare(
     u,
     v,
@@ -268,6 +290,7 @@ def prepare(
         lat = -pi * 0.5 + np.arange(nlat) * dy
     if lon is None:
         lon = np.arange(nlon) * dx
+    u, v, lon = _roll_lon_canonical(u, v, lon)
     lat = jnp.asarray(lat, cal_dtype)
     lon = jnp.asarray(lon, cal_dtype)
 
@@ -317,6 +340,7 @@ def prepare_time_varying(
         lat = -pi * 0.5 + np.arange(nlat) * dy
     if lon is None:
         lon = np.arange(nlon) * dx
+    u, v, lon = _roll_lon_canonical(u, v, lon)
     lat = jnp.asarray(lat, cal_dtype)
     lon = jnp.asarray(lon, cal_dtype)
 

@@ -161,6 +161,15 @@ def rhs_and_gv(bg: Background, y: jnp.ndarray, t=0.0):
 
 
 def _rhs_core(bg: Background, y: jnp.ndarray, t, with_raw_gv: bool):
+    # Mixed precision (RunConfig.state_dtype='float64'): the integrated
+    # state may be carried wider than the background. The SAMPLE and the
+    # RHS algebra stay in the background's compute dtype -- that is the
+    # whole point (throughput path f32; only the state accumulation and the
+    # controller run wide) -- so cast at entry. No-op when dtypes match.
+    cdtype = bg.fields.dtype
+    if y.dtype != cdtype:
+        y = y.astype(cdtype)
+        t = jnp.asarray(t).astype(cdtype)
     lon, lat, kx, ky, amp = y[S_LON], y[S_LAT], y[S_KX], y[S_KY], y[S_AMP]
 
     err = fail_mask(y)

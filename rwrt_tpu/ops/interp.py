@@ -212,8 +212,12 @@ def sample_raw(bs_fields, lon0, lat0, dx, dy, lon, lat) -> jnp.ndarray:
 
     Returns (R, 18).
     """
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
+    # (lon - lon0) mod 2*pi, NOT (lon mod 2*pi) - lon0: the latter sends
+    # points west of the grid origin past the last column whenever
+    # lon0 != 0 (e.g. a -180..180 input grid), where the clipped-corner
+    # extrapolation produces silently wrong samples. Bit-identical for
+    # lon0 == 0 (every reference grid).
+    ix = ((lon - lon0) % (2.0 * pi)) / dx
     iy = (lat - lat0) / dy
     vals = bilinear_gather(bs_fields, ix, iy)
     in_range = jnp.abs(lat) <= 0.5 * pi
@@ -319,8 +323,12 @@ def pack_corners(fields: jnp.ndarray) -> jnp.ndarray:
 def _packed_cell(w, h, lon0, lat0, dx, dy, lon, lat):
     """Fractional-index cell decomposition shared by every packed sampler:
     clamped (x0, y0) cell plus the bilinear offsets (sx, sy)."""
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
+    # (lon - lon0) mod 2*pi, NOT (lon mod 2*pi) - lon0: the latter sends
+    # points west of the grid origin past the last column whenever
+    # lon0 != 0 (e.g. a -180..180 input grid), where the clipped-corner
+    # extrapolation produces silently wrong samples. Bit-identical for
+    # lon0 == 0 (every reference grid).
+    ix = ((lon - lon0) % (2.0 * pi)) / dx
     iy = (lat - lat0) / dy
     x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, h - 1)
@@ -436,8 +444,12 @@ def sample_raw_time(bs_fields, lon0, lat0, dx, dy, lon, lat, tfrac) -> jnp.ndarr
     i1 = jnp.clip(i0 + 1, 0, nt - 1)
     w1 = tf - i0.astype(tf.dtype)
 
-    lon_w = lon % (2.0 * pi)
-    ix = (lon_w - lon0) / dx
+    # (lon - lon0) mod 2*pi, NOT (lon mod 2*pi) - lon0: the latter sends
+    # points west of the grid origin past the last column whenever
+    # lon0 != 0 (e.g. a -180..180 input grid), where the clipped-corner
+    # extrapolation produces silently wrong samples. Bit-identical for
+    # lon0 == 0 (every reference grid).
+    ix = ((lon - lon0) % (2.0 * pi)) / dx
     iy = (lat - lat0) / dy
 
     _, w, h, _ = bs_fields.shape

@@ -46,6 +46,8 @@ def trace(
     dt,
     nt: int,
     cut_off,
+    ug0=None,
+    vg0=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Integrate the ray batch for nt output steps.
 
@@ -55,6 +57,9 @@ def trace(
       dt: time step in seconds.
       nt: total number of saved times (including t=0).
       cut_off: haversine displacement kill threshold in radians per step.
+      ug0, vg0: optional precomputed initial group velocities (callers that
+        already ran ``initialize`` have them; recomputing costs a full-batch
+        background gather).
 
     Returns:
       ys: (nt, 5, R) state history (row 0 is y0).
@@ -62,9 +67,10 @@ def trace(
         zero-invalid initialization semantics (reference wr.py:393-395);
         later rows propagate NaN (reference 'extent' mode, wr.py:742-746).
     """
-    ug0, vg0 = ray_mod.group_velocity_at(
-        bg, y0[S_LON], y0[S_LAT], y0[2], y0[3], zero_invalid=True
-    )
+    if ug0 is None or vg0 is None:
+        ug0, vg0 = ray_mod.group_velocity_at(
+            bg, y0[S_LON], y0[S_LAT], y0[2], y0[3], zero_invalid=True
+        )
 
     def step(y, it):
         t = it * dt

@@ -249,11 +249,19 @@ def group_entry_state(y, bounds):
     """
     g = bounds.shape[0]
     r = y.shape[1]
-    nan_mean = jnp.isnan(jnp.mean(y, axis=0))
-    idx0 = jnp.where(nan_mean, g, 0).astype(jnp.int32)
-    t_shift = jnp.where(nan_mean, bounds[-1], jnp.nan)
+    # Entry-finish keys on the DYNAMICS rows (lon, lat, kx, ky): for those
+    # lanes the barrier path emits NaN (ug, vg) at every bound (a NaN
+    # position or wavenumber makes group_velocity NaN through its inputs),
+    # so prefilling and finishing them is exact. An AMP-only-NaN lane
+    # (mid-run overflow; positions finite) is NOT finished here: its
+    # per-bound (ug, vg) are finite and, for time-varying backgrounds,
+    # bound-dependent -- integrate_group's frozen-lane path walks it one
+    # bound per iteration instead, matching the barrier path exactly.
+    nan_dyn = jnp.isnan(jnp.mean(y[:4], axis=0))
+    idx0 = jnp.where(nan_dyn, g, 0).astype(jnp.int32)
+    t_shift = jnp.where(nan_dyn, bounds[-1], jnp.nan)
     hist0 = jnp.where(
-        nan_mean[None, None, :],
+        nan_dyn[None, None, :],
         jnp.concatenate(
             [jnp.broadcast_to(y[None], (g,) + y.shape),
              jnp.full((g, 2, r), jnp.nan, y.dtype)], axis=1),
@@ -369,10 +377,21 @@ def integrate_group(
         done = c.idx >= g
         bound = jnp.take(bounds, jnp.minimum(c.idx, g - 1))
 
+        # FROZEN lanes: amp NaN but dynamics rows finite (mid-run amplitude
+        # overflow). The barrier path freezes them at the next interval
+        # entry and then emits the unchanged state with group_velocity_at
+        # (finite; bound-dependent for time-varying backgrounds) at every
+        # later bound. Walk them one bound per loop iteration: zero-length
+        # "step" to the bound, state unchanged, (ug, vg) from the shared
+        # stage-7 evaluation at (frozen state, bound).
+        frozen = ~done & jnp.isnan(c.y[4]) & ~jnp.isnan(
+            jnp.mean(c.y[:4], axis=0))
+
         f0 = c.f
         heff = jnp.where(c.new_step, jnp.maximum(c.h, min_step), c.h)
         t_new = c.t + heff
         t_new = jnp.where(t_new > bound, bound, t_new)
+        t_new = jnp.where(frozen, bound, t_new)
         hstep = t_new - c.t
 
         k = [f0]
@@ -382,6 +401,7 @@ def integrate_group(
             )
             k.append(rhs_fn(c.y + dy, c.t + DP_C[s] * hstep))
         y_new = c.y + hstep[None, :] * sum(DP_B[j] * k[j] for j in range(6))
+        y_new = jnp.where(frozen[None, :], c.y, y_new)
         f_new, ug_new, vg_new = rhs_gv_fn(y_new, t_new)
         k.append(f_new)
 
@@ -390,12 +410,13 @@ def integrate_group(
         error_norm = _norm(err / scale)
         error_norm = jnp.where(jnp.isnan(error_norm), 0.0, error_norm)
 
-        accept = error_norm < 1.0
+        accept = (error_norm < 1.0) | frozen
         raw = SAFETY * error_norm ** ERROR_EXPONENT
         fac_acc = jnp.minimum(MAX_FACTOR, raw)
         fac_acc = jnp.where(c.rejected, jnp.minimum(1.0, fac_acc), fac_acc)
         fac_rej = jnp.maximum(MIN_FACTOR, raw)
         h_next = jnp.where(accept, hstep * fac_acc, hstep * fac_rej)
+        h_next = jnp.where(frozen, c.h, h_next)
 
         act = ~done
         upd = act & accept
@@ -437,8 +458,8 @@ def integrate_group(
 
         f_out = jnp.where(upd[None, :], f_new, c.f)
         h_out = jnp.where(act, h_next, c.h)
-        rejected_out = jnp.where(act, ~accept, c.rejected)
-        new_step_out = jnp.where(act, accept, c.new_step)
+        rejected_out = jnp.where(act & ~frozen, ~accept, c.rejected)
+        new_step_out = jnp.where(act & ~frozen, accept, c.new_step)
         prev_lon_out = jnp.where(crossing, y_sav[0], c.prev_lon)
         prev_lat_out = jnp.where(crossing, y_sav[1], c.prev_lat)
 
@@ -448,7 +469,7 @@ def integrate_group(
             idx=idx_out, hist=hist_out,
             prev_lon=prev_lon_out, prev_lat=prev_lat_out,
             iters=c.iters + 1, nfev=c.nfev + 6,
-            lane_att=c.lane_att + act.astype(jnp.int32),
+            lane_att=c.lane_att + (act & ~frozen).astype(jnp.int32),
         )
 
     out = jax.lax.while_loop(cond, body, carry)

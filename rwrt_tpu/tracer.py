@@ -385,6 +385,54 @@ def _peel_leg_stats(it, nf, tv, bounds):
     ])
 
 
+def _peel_drive(r, caps, min_width, cap_ceiling, run_leg, leg_stats):
+    """The ONE cap-escalation/compaction loop behind both peel orchestrators
+    (exact and dense modes differ only in their per-leg kernels and
+    unfinished-lane predicate; this loop had drifted between the two copies
+    once already).
+
+    run_leg(cap_v, w) runs one capped leg -- over the full batch when w is
+    None, else over the w-lane compacted subset -- mutating the
+    orchestrator's closed-over state and returning the (it, nf) device
+    scalars; leg_stats(it, nf) packs (trips, nfev, n_unfinished) into ONE
+    device fetch (every device->host read is a full tunnel round trip).
+    Legs past the listed caps repeat with a 4x-escalating cap up to
+    cap_ceiling: every program stays bounded (an uncapped leg could be a
+    single worker-killing multi-second program when a straggler is pinned
+    near the step floor) while a deep tail doesn't pay one host fetch per
+    caps[-1] trips.
+
+    Returns (units, nfev_total) with units = lane-iteration units (sum over
+    legs of trip count x width; trips at different widths cost differently).
+    """
+    ceil = max(8192, caps[-1]) if cap_ceiling is None else cap_ceiling
+    w = None  # None = full batch
+    units = 0
+    nfev_total = 0
+    leg = 0
+    while True:
+        if leg < len(caps):
+            cap = min(caps[leg], ceil)  # ceiling bounds EVERY program
+        else:
+            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1), ceil)
+        it, nf = run_leg(_dev_i32(int(cap)), w)
+        width = r if w is None else w
+        # ONE packed scalar fetch per leg.
+        it_h, nf_h, n_unf = (int(x) for x in np.asarray(leg_stats(it, nf)))
+        units += it_h * width
+        nfev_total += nf_h
+        if n_unf == 0:
+            return units, nfev_total
+        if it_h == 0 and leg >= len(caps):
+            raise RuntimeError(
+                f"peel stalled: {n_unf} lanes unfinished but the leg made "
+                "no progress")
+        leg += 1
+        w = max(min_width, 1 << int(n_unf - 1).bit_length())
+        if w >= r:
+            w = None  # no compaction win; keep full width
+
+
 @functools.partial(jax.jit, static_argnames=("w",))
 def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
                         rtol, atol, min_step, cap, w: int):
@@ -453,50 +501,23 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
     yv, tv, hv, fv = y, t, h, f
-    w = None  # None = full batch
-    units = 0
-    nfev_total = 0
-    leg = 0
-    while True:
-        # Past the listed caps, legs repeat with a 4x-escalating cap up to
-        # a ceiling: every program stays bounded (an uncapped leg could be
-        # a single multi-second program when a straggler is pinned near the
-        # step floor), while a deep tail doesn't pay one host fetch per
-        # caps[-1] trips (see _rk45_group_chunk_peeled).
-        ceil = (max(8192, caps[-1]) if cap_ceiling is None
-                else cap_ceiling)
-        if leg < len(caps):
-            cap = min(caps[leg], ceil)  # ceiling bounds EVERY program
-        else:
-            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1), ceil)
-        cap_v = _dev_i32(int(cap))
+
+    def run_leg(cap_v, w):
+        nonlocal hist, yv, tv, hv, fv, rej, ns, la
         if w is None:
             (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
                 bg, yv, tv, hv, fv, bounds, rtol, atol, min_step, cap_v,
                 hist, rej, ns, la)
-            width = r
         else:
             (yv, tv, hv, fv, hist, rej, ns, la, it, nf) = (
                 _dense_phase_subset(
                     bg, yv, tv, hv, fv, hist, rej, ns, la,
                     bounds, rtol, atol, min_step, cap_v, w=w))
-            width = w
-        # ONE packed scalar fetch per leg (each device->host read is a
-        # full round trip through a remote-device tunnel).
-        it_h, nf_h, n_unf = (int(x) for x in np.asarray(
-            _peel_leg_stats(it, nf, tv, bounds)))
-        units += it_h * width
-        nfev_total += nf_h
-        if n_unf == 0:
-            break
-        if it_h == 0 and leg >= len(caps):
-            raise RuntimeError(
-                f"peel stalled: {n_unf} lanes unfinished but the leg made "
-                "no progress")
-        leg += 1
-        w = max(min_width, 1 << int(n_unf - 1).bit_length())
-        if w >= r:
-            w = None  # no compaction win; keep full width
+        return it, nf
+
+    units, nfev_total = _peel_drive(
+        r, caps, min_width, cap_ceiling, run_leg,
+        lambda it, nf: _peel_leg_stats(it, nf, tv, bounds))
 
     return _dense_postpass_jit(
         bg, hist, yv, tv, hv, fv, prev_lon, prev_lat, bounds, cut_off,
@@ -621,52 +642,29 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
     g = bounds.shape[0]
     if caps is None:
         caps = (4 * g, 16 * g, 64 * g)
-    if cap_ceiling is None:
-        cap_ceiling = max(8192, caps[-1])
     hist, rej, ns, la, idx, t_shift = _group_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
     yv, tv, hv, fv, plv, pav = y, t, h, f, prev_lon, prev_lat
     gj = _dev_i32(g)
-    w = None  # None = full batch
-    units = 0
-    nfev_total = 0
-    leg = 0
-    while True:
-        # Past the listed caps, legs repeat with a 4x-escalating cap up to
-        # a ceiling (see the dense peel): bounded programs, few host
-        # fetches even for a step-floor-pinned tail.
-        if leg < len(caps):
-            cap = min(caps[leg], cap_ceiling)  # ceiling bounds EVERY program
-        else:
-            cap = min(caps[-1] * 4 ** (leg - len(caps) + 1), cap_ceiling)
-        cap_v = _dev_i32(int(cap))
+
+    def run_leg(cap_v, w):
+        nonlocal hist, yv, tv, hv, fv, plv, pav, rej, ns, la, idx
         if w is None:
             (hist, yv, tv, hv, fv, plv, pav, it, nf, la, rej, ns, idx) = (
                 _group_phase(
                     bg, yv, tv, hv, fv, plv, pav, bounds, cut_off,
                     rtol, atol, min_step, cap_v, hist, rej, ns, la, idx))
-            width = r
         else:
             (yv, tv, hv, fv, plv, pav, hist, rej, ns, la, idx, it, nf) = (
                 _group_phase_subset(
                     bg, yv, tv, hv, fv, plv, pav, hist, rej, ns, la, idx,
                     bounds, cut_off, rtol, atol, min_step, cap_v, w=w))
-            width = w
-        it_h, nf_h, n_unf = (int(x) for x in np.asarray(
-            _group_peel_stats(it, nf, idx, gj)))
-        units += it_h * width
-        nfev_total += nf_h
-        if n_unf == 0:
-            break
-        if it_h == 0 and leg >= len(caps):
-            raise RuntimeError(
-                f"peel stalled: {n_unf} lanes unfinished but the leg made "
-                "no progress")
-        leg += 1
-        w = max(min_width, 1 << int(n_unf - 1).bit_length())
-        if w >= r:
-            w = None  # no compaction win; keep full width
+        return it, nf
+
+    units, nfev_total = _peel_drive(
+        r, caps, min_width, cap_ceiling, run_leg,
+        lambda it, nf: _group_peel_stats(it, nf, idx, gj))
     # units/nfev are host ints already -- return them as numpy scalars
     # rather than paying a host->device transfer per chunk.
     return (yv, tv, hv, fv, plv, pav), (
@@ -807,10 +805,7 @@ def initial_step_sizes(bg, y0, rtol, atol):
 
 @functools.partial(jax.jit, static_argnames=("nt",))
 def _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off):
-    ys, ugs, vgs = rk4_mod.trace(bg, y0, dt, nt, cut_off)
-    ugs = ugs.at[0].set(ug0)
-    vgs = vgs.at[0].set(vg0)
-    return ys, ugs, vgs
+    return rk4_mod.trace(bg, y0, dt, nt, cut_off, ug0, vg0)
 
 
 @functools.partial(jax.jit, static_argnames=("nt", "max_iters"))
@@ -1176,6 +1171,18 @@ def trace_rays(
         bg = sh.replicate(bg, mesh)
 
     nt = config.nt
+    if config.state_dtype == "float64":
+        # Mixed precision (DESIGN.md section 7): wide state/controller, the
+        # background sample and RHS algebra stay in cal_dtype (the RHS casts
+        # at entry, models/ray.py). The cast is exact; with dtypes equal
+        # (cal_dtype float64) this is a no-op.
+        y0 = y0.astype(jnp.float64)
+        if y0.dtype != jnp.float64:
+            raise RuntimeError(
+                "state_dtype='float64' needs jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))"
+            )
+        dtype = y0.dtype
     dt = jnp.asarray(config.tstep, dtype)
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
 
@@ -1218,9 +1225,13 @@ def trace_rays(
         # err mask does not flag NaN ky; reference wr.py:593-618 -> all-NaN
         # from step 1). (ug, vg) are NaN beyond step 0 either way.
         if config.integrator == "rk45":
-            ys_f = jnp.broadcast_to(y0_full[None], (nt,) + y0_full.shape)
+            # ys.dtype, not y0_full.dtype: under state_dtype='float64' the
+            # integrated history is wider than the (cal_dtype) seeds and a
+            # narrower scatter target would silently round it back.
+            ys_f = jnp.broadcast_to(y0_full[None].astype(ys.dtype),
+                                    (nt,) + y0_full.shape)
         else:
-            ys_f = jnp.full((nt,) + y0_full.shape, jnp.nan, y0_full.dtype)
+            ys_f = jnp.full((nt,) + y0_full.shape, jnp.nan, ys.dtype)
             ys_f = ys_f.at[0].set(y0_full)
         ys = ys_f.at[..., take].set(ys[..., :n_lanes])
         gv_f = jnp.full((nt, n_rays), jnp.nan, ys.dtype)
@@ -1293,12 +1304,19 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
 
     if config.integrator == "rk4":
         bgs = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        # Initialize per member on host (NOT under the vmap): the fortran
+        # root_order runs host-side slot reordering that cannot trace, and
+        # silently downgrading to canonical order defeats its purpose.
+        inits = [initialize(bg, source_lon, source_lat, zwn,
+                            config.root_order) for bg in members]
+        y0s = jnp.stack([i[0] for i in inits])
+        ug0s = jnp.stack([i[1] for i in inits])
+        vg0s = jnp.stack([i[2] for i in inits])
 
-        def run_one(bg):
-            y0, ug0, vg0 = initialize(bg, source_lon, source_lat, zwn)
+        def run_one(bg, y0, ug0, vg0):
             return _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off)
 
-        ys, ugs, vgs = jax.vmap(run_one)(bgs)
+        ys, ugs, vgs = jax.vmap(run_one)(bgs, y0s, ug0s, vg0s)
         return [
             _traj_from(ys[i], ugs[i], vgs[i],
                        lambda a: a.reshape(out_shape))

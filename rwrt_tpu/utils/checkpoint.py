@@ -157,6 +157,16 @@ def trace_rays_chunked(
                 np.arange(y0.shape[1] - lane_to_ray.shape[0]) + n_rays,
             ])
     n_lanes = y0.shape[1]
+    if config.state_dtype == "float64":
+        # Mixed precision (DESIGN.md section 7): wide state/controller; the
+        # RHS casts back to the background's compute dtype at its entry.
+        y0 = y0.astype(jnp.float64)
+        if y0.dtype != jnp.float64:
+            raise RuntimeError(
+                "state_dtype='float64' needs jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))"
+            )
+        dtype = y0.dtype
     dt = jnp.asarray(config.tstep, dtype)
     cut_off = jnp.asarray(config.cut_off_rad, dtype)
     from rwrt_tpu.solvers import rk45 as _rk45_mod

@@ -161,3 +161,33 @@ def test_fortran_slot_order_matches_reference():
         want, _ = bs_mod.change_roots_order(m.copy(), deg)
         np.testing.assert_allclose(got[i], want, equal_nan=True,
                                    err_msg=f"case {i} deg {deg} m {m}")
+
+
+def test_sampler_negative_lon0_grid():
+    """Grids in the -180..180 convention sample identically to the same
+    field stored 0..360 (the old (lon%2pi - lon0)/dx indexing sent points
+    west of the origin past the last column)."""
+    import rwrt_tpu as rt
+    from rwrt_tpu.ops import interp
+
+    nlon, nlat = 64, 33
+    dx = 2 * np.pi / nlon
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon_neg = -np.pi + np.arange(nlon) * dx
+    lon_pos = np.arange(nlon) * dx
+    rng = np.random.default_rng(5)
+    u = 20 * np.cos(lat)[None, :] ** 2 + np.cos(3 * lon_neg[:, None]) * np.cos(lat)[None, :]
+    v = np.sin(2 * lon_neg[:, None]) * np.cos(lat)[None, :]
+    bs_neg = rt.prepare(u, v, lat, lon_neg, cal_dtype="float64")
+    k = nlon // 2
+    bs_pos = rt.prepare(np.roll(u, k, axis=0), np.roll(v, k, axis=0),
+                        lat, lon_pos, cal_dtype="float64")
+    plon = jnp.asarray(rng.uniform(-np.pi, np.pi, 200))
+    plat = jnp.asarray(rng.uniform(-1.4, 1.4, 200))
+    a = np.asarray(interp.sample_mercator(
+        bs_neg.fields, bs_neg.lon[0], bs_neg.lat[0], bs_neg.dx, bs_neg.dy,
+        plon, plat))
+    b = np.asarray(interp.sample_mercator(
+        bs_pos.fields, bs_pos.lon[0], bs_pos.lat[0], bs_pos.dx, bs_pos.dy,
+        plon, plat))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12, equal_nan=True)

@@ -307,10 +307,10 @@ def test_streamed_history_survives_rejected_resume(tmp_path, jet_field):
     np.testing.assert_array_equal(lon_before, lon_after)
 
 
-def test_ensemble_rk4_fortran_order_refused(tmp_path, jet_field):
-    """The fused ensemble rk4 path cannot honor root_order='fortran' (host
-    slot ordering cannot run under vmap); it must refuse rather than
-    silently downgrade to canonical order. The chunked path supports it."""
+def test_ensemble_rk4_fortran_order_honored(tmp_path, jet_field):
+    """The fused ensemble rk4 path honors root_order='fortran' (member
+    initialization runs on host, outside the vmap) -- the slot layout
+    matches the chunked per-member path exactly."""
     from rwrt_tpu.main import RunPaths, run
 
     u, v, lat, lon = jet_field
@@ -324,8 +324,8 @@ def test_ensemble_rk4_fortran_order_refused(tmp_path, jet_field):
                     nnx=2, nny=1, tstep=7200.0, ttotal=86400.0,
                     integrator="rk4", root_order="fortran",
                     cal_dtype="float64")
-    with pytest.raises(ValueError, match="chunked"):
-        run(cfg, RunPaths(inputuv=paths), verbose=False)
-    # The chunked path accepts it.
-    trajs = run(cfg, RunPaths(inputuv=paths), verbose=False, chunked=True)
-    assert len(trajs) == 2
+    fused = run(cfg, RunPaths(inputuv=paths), verbose=False)
+    chunked = run(cfg, RunPaths(inputuv=paths), verbose=False, chunked=True)
+    for a, b in zip(fused, chunked):
+        np.testing.assert_allclose(np.asarray(a.ky)[0], np.asarray(b.ky)[0],
+                                   rtol=0, atol=0, equal_nan=True)

@@ -247,3 +247,76 @@ def test_bucketed_chunk_bitwise_equal_and_lane_attempts(jet_field):
             same = (a == b) | (np.isnan(a) & np.isnan(b))
             assert same.all(), ("carry", step)
         step += n
+
+
+def test_amp_nan_lane_group_equals_barrier(jet_field):
+    """A lane whose AMPLITUDE is NaN while its dynamics rows stay finite
+    (mid-run amp overflow) must freeze exactly like the barrier path: state
+    emitted unchanged at every bound with finite, bound-evaluated (ug, vg).
+    The grouped path used to keep integrating such lanes (divergent output
+    depending on interval_batch); it now walks them bound by bound."""
+    import rwrt_tpu as rt
+    from rwrt_tpu import tracer
+    from rwrt_tpu.models import ray as ray_mod
+
+    u, v, lat, lon = jet_field
+    frames = np.stack([u, u * 1.3])
+    vfr = np.stack([v, v])
+    for bs in (rt.prepare(u, v, lat, lon, cal_dtype="float64"),
+               rt.prepare_time_varying(frames, vfr, lat, lon,
+                                       bg_dt=2 * 86400.0,
+                                       cal_dtype="float64")):
+        bg = tracer.make_background(bs, 0.0)
+        slon, slat = tracer.source_matrix(0.0, 5.0, 72.0, 10.0, 3, 2)
+        zwn = jnp.asarray([3.0, 5.0])
+        y0, ug0, vg0 = tracer.initialize(
+            bg, jnp.asarray(slon), jnp.asarray(slat), zwn)
+        # Inject the pathological state into two born lanes.
+        born = np.flatnonzero(np.isfinite(np.asarray(y0[4])))
+        y0 = y0.at[4, born[0]].set(jnp.nan)
+        y0 = y0.at[4, born[2]].set(jnp.nan)
+
+        dt = jnp.asarray(2 * 3600.0, jnp.float64)
+        nt = 13
+        cut_off = jnp.asarray(0.2)
+        rtol = jnp.asarray(1e-6)
+        atol = jnp.asarray(1e-6)
+        min_step = jnp.asarray(7.2)
+        bounds = jnp.arange(1, nt, dtype=jnp.float64) * dt
+
+        h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
+        t0 = jnp.zeros(y0.shape[1], jnp.float64)
+        _, (ys_b, ug_b, vg_b, _, _) = tracer._rk45_chunk(
+            bg, y0, t0, h0, bounds, cut_off, rtol, atol, min_step)
+
+        def rhs_fn(yy, tt=0.0):
+            dy, _ = ray_mod.rhs(bg, yy, tt)
+            return dy
+
+        carry = (y0, t0, h0, rhs_fn(y0, t0), y0[0], y0[1])
+        hists, ugs, vgs = [], [], []
+        i = 0
+        while i < nt - 1:
+            bsl = bounds[i : i + 5]
+            carry, (hist, ug, vg, _, _, _la) = tracer._rk45_group_chunk(
+                bg, *carry, bsl, cut_off, rtol, atol, min_step)
+            hists.append(np.asarray(hist))
+            ugs.append(np.asarray(ug))
+            vgs.append(np.asarray(vg))
+            i += len(bsl)
+
+        ys_g = np.concatenate(hists, axis=0)
+        np.testing.assert_allclose(ys_g, np.asarray(ys_b), rtol=0, atol=0,
+                                   equal_nan=True)
+        # gv: bitwise for static backgrounds; the time-varying stage-7
+        # fusion carries a pre-existing ~1e-14 ULP wobble vs the post-pass
+        # (same on the unpatched tree; t-lerp arithmetic order).
+        np.testing.assert_allclose(np.concatenate(ugs), np.asarray(ug_b),
+                                   rtol=1e-12, atol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(np.concatenate(vgs), np.asarray(vg_b),
+                                   rtol=1e-12, atol=1e-12, equal_nan=True)
+        # The frozen lane's emissions: unchanged position, FINITE gv.
+        lane = born[0]
+        np.testing.assert_array_equal(
+            ys_g[:, 0, lane], np.full(nt - 1, float(y0[0, lane])))
+        assert np.isfinite(np.concatenate(ugs)[:, lane]).all()
