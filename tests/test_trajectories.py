@@ -56,6 +56,36 @@ def _match_slots(ref_m0, our_m0):
     return perm
 
 
+def _per_sample_err(ref_wr, traj):
+    """Slot-matched per-sample great-circle position error in degrees.
+
+    Returns (err (nt, 3, nsource, nzwn) with NaN where either side is dead,
+    mask_divergence fraction) — the decomposition inputs for chaos-dominated
+    horizons (cf. test_precision.py::test_f32_trajectory_drift_30day)."""
+    nt, _, nsource, nzwn = ref_wr.rlon.shape
+    ref_lon, ref_lat = np.asarray(ref_wr.rlon), np.asarray(ref_wr.rlat)
+    ref_m = np.asarray(ref_wr.rmwn)
+    our_lon, our_lat = np.asarray(traj.lon), np.asarray(traj.lat)
+    our_m = np.asarray(traj.ky)
+    err = np.full((nt, 3, nsource, nzwn), np.nan)
+    mism, total = 0, 0
+    for s in range(nsource):
+        for z in range(nzwn):
+            perm = _match_slots(ref_m[0, :, s, z], our_m[0, :, s, z])
+            for i in range(3):
+                j = perm[i]
+                rl, ro = ref_lat[:, i, s, z], our_lat[:, j, s, z]
+                gl, go = ref_lon[:, i, s, z], our_lon[:, j, s, z]
+                both = np.isfinite(rl) & np.isfinite(ro)
+                mism += int(np.sum(np.isfinite(rl) != np.isfinite(ro)))
+                total += nt
+                dlat = rl - ro
+                dlon = (gl - go + np.pi) % (2 * np.pi) - np.pi
+                e = np.degrees(np.sqrt(dlat**2 + (dlon * np.cos(rl)) ** 2))
+                err[:, i, s, z] = np.where(both, e, np.nan)
+    return err, mism / total
+
+
 def _compare(ref_wr, traj, rmse_deg_gate=1e-3, nan_mismatch_frac=0.02):
     nt, _, nsource, nzwn = ref_wr.rlon.shape
     ref_lon = np.asarray(ref_wr.rlon)
@@ -206,3 +236,33 @@ def test_rk45_30day_north_star_gate(jet_field, ours_bs):
     traj = rt.trace_rays(ours_bs, cfg)
     rmse, frac = _compare(ref, traj, rmse_deg_gate=0.1)
     print(f"30-day RK45 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
+
+    # The free-stepping dense-output mode (the bench's throughput path)
+    # integrates to the REQUESTED tolerance instead of the exact path's
+    # bound-clamped over-resolution, so its tolerance-level perturbation is
+    # amplified by ray chaos at this horizon exactly like the f32 drift
+    # (measured e-folding ~8 days; test_precision.py::
+    # test_f32_trajectory_drift_30day establishes the decomposition): a
+    # whole-horizon whole-batch RMSE gate is not meaningful. Gate the same
+    # honest decomposition vs the SAME reference oracle (reused — it
+    # dominates the cost): day-10 RMSE inside the acceptance gate before
+    # chaos takes over, tiny median per-sample drift over the full 30 days,
+    # bounded alive-mask divergence.
+    cfg_dense = RunConfig(
+        zwn=case["zwn"], sw_lon=case["sw_lon"], sw_lat=case["sw_lat"],
+        dlon=case["dlon"], dlat=case["dlat"], nnx=case["nnx"],
+        nny=case["nny"], tstep=case["tstep"], ttotal=case["ttotal"],
+        integrator="rk45", cal_dtype="float64", bound_mode="dense",
+        interval_batch=16,
+    )
+    traj_d = rt.trace_rays(ours_bs, cfg_dense)
+    err, mask_div = _per_sample_err(ref, traj_d)
+    it10 = 10 * 12  # day 10 at the 2 h cadence
+    e10 = err[: it10 + 1][np.isfinite(err[: it10 + 1])]
+    rmse10 = float(np.sqrt(np.mean(e10**2)))
+    med = float(np.nanmedian(err))
+    print(f"30-day dense RK45: day-10 RMSE {rmse10:.2e} deg, 30-day "
+          f"median {med:.2e} deg, mask divergence {mask_div:.3%}")
+    assert rmse10 < 0.1, f"dense day-10 RMSE {rmse10} deg"
+    assert med < 0.05, f"dense 30-day median drift {med} deg"
+    assert mask_div < 0.05, f"alive-mask divergence {mask_div:.3%}"
