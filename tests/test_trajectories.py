@@ -57,7 +57,9 @@ def _match_slots(ref_m0, our_m0):
 
 
 def _per_sample_err(ref_wr, traj):
-    """Slot-matched per-sample great-circle position error in degrees.
+    """Slot-matched per-sample position error in degrees (small-separation
+    equirectangular approximation sqrt(dlat^2 + (dlon*cos(ref_lat))^2), the
+    same metric _compare uses -- not a true great-circle distance).
 
     Returns (err (nt, 3, nsource, nzwn) with NaN where either side is dead,
     mask_divergence fraction) — the decomposition inputs for chaos-dominated
@@ -196,6 +198,44 @@ def test_nonstationary_rk4_matches_reference(jet_field, ours_bs):
     print(f"nonstationary RK4 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
 
 
+def test_xcyclic_false_end_to_end(jet_field):
+    """Full pipeline with xcyclic=False: no wrap column on the field stack
+    (reference bs.py:318, 370-372), so rays in the final longitude wedge
+    [lon[-1], 360) sample the clipped-corner extrapolation instead of the
+    periodic interpolation. Golden comparison vs the reference run with the
+    same flag; sw_lon=-5 puts a source column at 355 deg E, inside the
+    final dx=5 deg wedge, so the non-cyclic gather path is genuinely hit."""
+    u, v, lat, lon = jet_field
+    case = dict(CASE, ttotal=5 * DAY, sw_lon=-5.0)
+    ref = run_reference_wr(u, v, lat, lon, inte_method="", xcyclic=False,
+                           **case)
+    bs = rt.prepare(u, v, lat, lon, xcyclic=False,
+                    read_dtype="float32", cal_dtype="float64")
+    cfg = RunConfig(
+        zwn=case["zwn"], sw_lon=case["sw_lon"], sw_lat=case["sw_lat"],
+        dlon=case["dlon"], dlat=case["dlat"], nnx=case["nnx"],
+        nny=case["nny"], tstep=case["tstep"], ttotal=case["ttotal"],
+        integrator="rk4", cal_dtype="float64", xcyclic=False,
+    )
+    traj = rt.trace_rays(bs, cfg)
+    rmse, frac = _compare(ref, traj)
+    print(f"xcyclic=False RK4 RMSE {rmse:.2e} deg, nan mismatch {frac:.3%}")
+
+    # And the adaptive path through the same non-cyclic stack.
+    ref45 = run_reference_wr(u, v, lat, lon, inte_method="rk45",
+                             xcyclic=False, **case)
+    cfg45 = RunConfig(
+        zwn=case["zwn"], sw_lon=case["sw_lon"], sw_lat=case["sw_lat"],
+        dlon=case["dlon"], dlat=case["dlat"], nnx=case["nnx"],
+        nny=case["nny"], tstep=case["tstep"], ttotal=case["ttotal"],
+        integrator="rk45", cal_dtype="float64", xcyclic=False,
+    )
+    traj45 = rt.trace_rays(bs, cfg45)
+    rmse45, frac45 = _compare(ref45, traj45, rmse_deg_gate=0.01)
+    print(f"xcyclic=False RK45 RMSE {rmse45:.2e} deg, "
+          f"nan mismatch {frac45:.3%}")
+
+
 def test_interval_batch_invariance(jet_field, ours_bs):
     """trace_rays results must be identical for any interval_batch (the
     grouped runner incl. its padded-tail bounds vs the barrier runner)."""
@@ -257,7 +297,7 @@ def test_rk45_30day_north_star_gate(jet_field, ours_bs):
     )
     traj_d = rt.trace_rays(ours_bs, cfg_dense)
     err, mask_div = _per_sample_err(ref, traj_d)
-    it10 = 10 * 12  # day 10 at the 2 h cadence
+    it10 = int(round(10 * DAY / case["tstep"]))  # day 10 at the cadence
     e10 = err[: it10 + 1][np.isfinite(err[: it10 + 1])]
     rmse10 = float(np.sqrt(np.mean(e10**2)))
     med = float(np.nanmedian(err))
