@@ -66,11 +66,15 @@ class RunConfig:
     # unpeeled chunk in BOTH bound modes; the straggler tail stops taxing
     # the full batch width (~3x fewer lane-iteration units in dense mode,
     # and in exact mode it removes a >10x cost cliff when late-run lanes
-    # pin near the step floor). peel_caps applies to dense mode; the exact
-    # path derives its caps from the chunk length (see
-    # tracer._rk45_group_chunk_peeled).
+    # pin near the step floor). peel_caps applies to dense mode (caps are
+    # while-iterations per chunk of free stepping); peel_caps_exact applies
+    # to exact mode, whose iteration counts scale with the chunk length --
+    # None (the default) derives (4g, 16g, 64g) from the chunk's bound
+    # count g (see tracer._rk45_group_chunk_peeled). Any caps value is
+    # bitwise-equal; these knobs are cost tuning only.
     peel: bool = True
     peel_caps: Sequence[int] = (24, 96)
+    peel_caps_exact: Optional[Sequence[int]] = None
     # Difficulty-bucketed lane scheduling for the grouped adaptive path
     # (tracer._rk45_group_chunk_bucketed): lanes sorted by the previous
     # chunk's per-lane attempt count run as this many equal slices, each its
@@ -188,6 +192,15 @@ class RunConfig:
             raise ValueError("min_step_factor and cut_off must be >= 0")
         if self.difficulty_buckets < 1:
             raise ValueError("difficulty_buckets must be >= 1")
+        for name in ("peel_caps", "peel_caps_exact"):
+            caps = getattr(self, name)
+            if caps is None:
+                continue
+            caps = tuple(int(c) for c in caps)
+            if any(c < 1 for c in caps) or list(caps) != sorted(set(caps)):
+                raise ValueError(
+                    f"{name} must be strictly increasing positive ints, "
+                    f"got {tuple(getattr(self, name))!r}")
         if self.bg_dt < 0:
             raise ValueError("bg_dt must be >= 0 (seconds between frames)")
         if self.shsf_truncation is not None and self.shsf_truncation < 1:

@@ -458,6 +458,8 @@ def trace_rays_chunked(
                     _tracer_mod._rk45_group_chunk_peeled(
                         bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
                         cut_off, rtol, atol, min_step,
+                        caps=(None if config.peel_caps_exact is None
+                              else tuple(config.peel_caps_exact)),
                     ))
                 # peeled iters is already lane-iteration units
                 ray_steps = int(np.asarray(iters))

@@ -96,6 +96,31 @@ def test_exact_peel_through_chunked_driver(bs):
         )
 
 
+def test_peel_caps_exact_config_knob(bs):
+    """RunConfig.peel_caps_exact reaches the exact-mode peel scheduler (the
+    dense-only cap asymmetry closed in round 3): tiny explicit caps force
+    the full suspend/compact/resume machinery through the chunked driver
+    and must stay bitwise-equal to the derived-caps default."""
+    tuned = trace_rays_chunked(
+        bs, RunConfig(peel_caps_exact=(2, 8), **CFG),
+        chunk_steps=16, verbose=False)
+    default = trace_rays_chunked(bs, RunConfig(**CFG),
+                                 chunk_steps=16, verbose=False)
+    for k in ("lon", "lat", "kx", "ky", "amp", "ug", "vg"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tuned, k)), np.asarray(getattr(default, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k,
+        )
+
+
+def test_peel_caps_validation():
+    """Non-increasing or non-positive caps are rejected loudly."""
+    with pytest.raises(ValueError, match="peel_caps_exact"):
+        RunConfig(peel_caps_exact=(8, 2), **CFG).validate()
+    with pytest.raises(ValueError, match="peel_caps"):
+        RunConfig(peel_caps=(0, 4), **CFG).validate()
+
+
 def test_exact_peel_equals_fused(bs):
     """Driver-level: the peeled chunked result equals the fused grouped
     runner (which is itself golden-tested) bitwise when the chunk split
