@@ -44,6 +44,103 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# Slow-test gate. The default run (`pytest tests/ -x -q`, what CI and the
+# driver use) deselects these via addopts `-m "not slow"` in pyproject.toml,
+# keeping the gate under ~10 minutes on one CPU; the FULL suite (the release
+# gate, ~33 min) is `pytest tests/ -m "slow or not slow"`. Every entry below
+# is a node whose semantics are covered more cheaply elsewhere in the
+# default gate (bitwise pairwise-equality/invariance tests at multi-day
+# scale, example-script smoke runs, and the 30-day-horizon goldens); the
+# 10-day golden reference matches, physics acceptance tests, unit tests,
+# and the multi-chip dryrun stay in the default gate. Node ids regenerated
+# from `pytest tests/ -m "slow or not slow" --durations=80` (the >= ~8.5 s
+# band minus keepers; 2026-08-19 profile recorded in docs/STATUS.md).
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    "test_autodiff.py::test_grad_through_full_pipeline_matches_fd",
+    "test_autodiff.py::test_grad_wrt_source_position",
+    "test_autodiff.py::test_optimize_seeds_reaches_target",
+    "test_compact_dead.py::test_checkpoint_from_different_source_config_rejected",
+    "test_compact_dead.py::test_compacted_bitwise_equals_uncompacted[rk45]",
+    "test_compact_dead.py::test_compacted_bitwise_equals_uncompacted[rk4]",
+    "test_compact_dead.py::test_compacted_dense_mode",
+    "test_compact_dead.py::test_compacted_under_mesh",
+    "test_compact_dead.py::test_rootless_lanes_survive_compaction",
+    "test_dense.py::test_bucketed_dense_bitwise_equals_dense",
+    "test_dense.py::test_dense_bucketed_chunked_mesh_equals_single",
+    "test_dense.py::test_dense_kill_masks_exact",
+    "test_dense.py::test_dense_matches_exact_at_tolerance",
+    "test_dense.py::test_dense_time_varying",
+    "test_dense.py::test_peel_bitwise_equals_dense_chunk",
+    "test_dense.py::test_peel_through_chunked_driver",
+    "test_diagnostics.py::test_ensemble_api",
+    "test_ensemble_rk45.py::test_ensemble_rk45_matches_separate_runs[16]",
+    "test_ensemble_rk45.py::test_ensemble_rk45_matches_separate_runs[1]",
+    "test_ensemble_rk45.py::test_ensemble_rk45_sharded",
+    "test_ensemble_rk45.py::test_time_varying_ensemble_rk45[16]",
+    "test_ensemble_rk45.py::test_time_varying_ensemble_rk45[1]",
+    "test_exact_peel.py::test_exact_peel_bitwise_equals_group_chunk",
+    "test_exact_peel.py::test_exact_peel_equals_fused",
+    "test_exact_peel.py::test_exact_peel_through_chunked_driver",
+    "test_examples.py::test_flux_diagnostics_demo",
+    "test_examples.py::test_great_circle_demo_and_plot",
+    "test_io_main.py::test_run_ensemble_from_file_list",
+    "test_io_main.py::test_run_time_varying_background_end_to_end",
+    "test_io_main.py::test_wnmaps_time_varying_through_cli_surface",
+    "test_mixed_precision.py::test_mixed_precision_chunked_equals_fused",
+    "test_mixed_precision.py::test_mixed_precision_reduces_f32_drift[rk45]",
+    "test_mixed_precision.py::test_mixed_precision_reduces_f32_drift[rk4]",
+    "test_parallel.py::test_bucketed_scheduling_bitwise_equal",
+    "test_parallel.py::test_checkpoint_resume",
+    "test_parallel.py::test_chunked_equals_fused[rk45]",
+    "test_parallel.py::test_sharded_equals_single_device[rk45]",
+    "test_parallel.py::test_sharded_equals_single_device[rk4]",
+    "test_precision.py::test_f32_trajectory_drift[rk45]",
+    "test_precision.py::test_f32_trajectory_drift[rk4]",
+    "test_precision.py::test_f32_trajectory_drift_30day",
+    "test_review_r2.py::test_load_basic_state_time_varying_roundtrip",
+    "test_review_r2.py::test_streamed_history_survives_rejected_resume",
+    "test_robustness.py::test_nan_hole_background_matches_reference",
+    "test_robustness.py::test_random_backgrounds_nan_discipline[0]",
+    "test_robustness.py::test_random_backgrounds_nan_discipline[2]",
+    "test_round2_fixes.py::test_all_dead_early_stop",
+    "test_round2_fixes.py::test_checkpoint_resume_time_varying",
+    "test_round2_fixes.py::test_rootless_compaction_invariance[rk45]",
+    "test_round2_fixes.py::test_rootless_compaction_invariance[rk4]",
+    "test_round2_fixes.py::test_single_interval_run",
+    "test_round2_fixes.py::test_streamed_history_equals_in_memory",
+    "test_round2_fixes.py::test_termination_classify_exact",
+    "test_shardmap.py::test_checkpoint_resume_under_mesh",
+    "test_shardmap.py::test_chunked_rk4_under_mesh",
+    "test_shardmap.py::test_chunked_shardmap_equal_single",
+    "test_shardmap.py::test_gspmd_barrier_loop_would_collectivize",
+    "test_shardmap.py::test_per_shard_iteration_counts_differ",
+    "test_shardmap.py::test_shardmap_equal_single[16]",
+    "test_shardmap.py::test_shardmap_equal_single[1]",
+    "test_shardmap.py::test_time_varying_under_mesh",
+    "test_solvers.py::test_amp_nan_lane_group_equals_barrier",
+    "test_solvers.py::test_bucketed_chunk_bitwise_equal_and_lane_attempts",
+    "test_solvers.py::test_grouped_intervals_equal_barrier",
+    "test_solvers.py::test_rk4_fourth_order_convergence",
+    "test_termination_rate.py::test_classify_other_rate_adaptive",
+    "test_time_varying.py::test_constant_frames_equal_static[rk45]",
+    "test_time_varying.py::test_constant_frames_equal_static[rk4]",
+    "test_time_varying.py::test_ensemble_vmap",
+    "test_trajectories.py::test_interval_batch_invariance",
+    "test_trajectories.py::test_xcyclic_false_end_to_end",
+    # (test_rk45_30day_north_star_gate carries an in-file slow marker)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        rel = f"{item.fspath.basename}::{item.name}"
+        if rel in SLOW_TESTS:
+            item.add_marker(slow)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _bound_live_executables():
     """Release compiled executables at every module boundary.
