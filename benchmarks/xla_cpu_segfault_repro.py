@@ -28,6 +28,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def one_shot_big(n):
+    """Variant: accumulate N structurally-large executables (shard_map over
+    8 virtual devices wrapping while_loop+scan, unique shapes) — the small-
+    program ladder (one_shot) does NOT crash through n=1500, so count alone
+    is not the trigger; the suite's live set is ~100+ LARGE programs."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.array(jax.devices()), ("rays",))
+    kept = []
+    for i in range(n):
+        w = 24 + (i % 13)  # unique minor shape defeats dedup
+
+        def chunk(y, _i=i):
+            def body(c):
+                it, yy = c
+                def scan_body(carry, t):
+                    z = jnp.tanh(carry * (1.0001 + _i * 1e-6) + t)
+                    return z, (z[0], jnp.sum(z))
+                yy2, (h1, h2) = jax.lax.scan(scan_body, yy,
+                                             jnp.arange(12.0 + _i % 3))
+                return it + 1, yy2 + jnp.sum(h1) + jnp.mean(h2)
+            _, out = jax.lax.while_loop(lambda c: c[0] < 6, body, (0, y))
+            return out
+
+        g = jax.jit(shard_map(chunk, mesh=mesh, in_specs=P("rays"),
+                              out_specs=P("rays")))
+        g(jnp.ones((8 * 16, w))).block_until_ready()
+        kept.append(g)
+        if (i + 1) % 10 == 0:
+            print(f"#   {i + 1}/{n} big executables alive", flush=True)
+    print(f"# big-mode n={n}: all compiles OK", flush=True)
+
+
 def one_shot(n):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import numpy as np
@@ -88,10 +132,15 @@ def main():
     if "--one" in sys.argv:
         one_shot(int(os.environ.get("REPRO_N", "500")))
         return
-    for n in (100, 300, 600, 1000, 1500):
+    if "--one-big" in sys.argv:
+        one_shot_big(int(os.environ.get("REPRO_N", "120")))
+        return
+    big = "--big" in sys.argv
+    flag = "--one-big" if big else "--one"
+    for n in ((40, 80, 160) if big else (100, 300, 600, 1000, 1500)):
         env = dict(os.environ, REPRO_N=str(n))
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one"], env=env,
+            [sys.executable, os.path.abspath(__file__), flag], env=env,
             capture_output=True, text=True, timeout=1800)
         tail = (p.stdout or "").strip().splitlines()[-1:] or ["(no output)"]
         print(f"n={n}: rc={p.returncode}  {tail[0]}"
