@@ -23,11 +23,13 @@ mkdir -p "$OUT"
 log() { echo "[campaign $(date -u +%H:%M:%S)] $*" | tee -a "$OUT/campaign.log"; }
 
 bench_complete() {
-  # $1 = done-file key; complete==true?
+  # $1 = done-file key; complete==true? Honors the same BENCH_WORKDIR
+  # override bench.py does.
   python3 - "$1" <<'EOF'
-import json, sys
+import json, os, sys
+workdir = os.environ.get("BENCH_WORKDIR", ".bench_workdir")
 try:
-    d = json.load(open(f".bench_workdir/done_{sys.argv[1]}.json"))
+    d = json.load(open(os.path.join(workdir, f"done_{sys.argv[1]}.json")))
     sys.exit(0 if d.get("complete") else 1)
 except Exception:
     sys.exit(1)
@@ -42,8 +44,9 @@ run_bench_until_done() {
     log "bench $key attempt $i/$tries"
     BENCH_DENSE=$dense BENCH_DEADLINE=2400 timeout 2500 \
       python3 bench.py >> "$OUT/bench_$key.log" 2>&1
+    local rc=$?
     if bench_complete "$key"; then log "$key COMPLETE"; return 0; fi
-    log "$key not complete yet (rc=$?); cooling 180s"
+    log "$key not complete yet (bench rc=$rc); cooling 180s"
     sleep 180
   done
   log "$key gave up after $tries attempts"
