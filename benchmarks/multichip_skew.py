@@ -1,0 +1,134 @@
+"""Per-shard loop-count skew at north-star shape (VERDICT r3 item 6).
+
+The multi-chip claim rests on shard-local while_loops with zero hot-loop
+collectives (tests/test_shardmap.py): 8-chip wall = MAX-shard wall, not
+mean. This probe runs the north-star-SHAPED workload (4800 random sources
+x 7 zwn, the bench seeding -- not the 384-ray toy) on the virtual 8-device
+CPU mesh through the production shard_map chunk and records per-shard
+device-loop trip counts per chunk, so the projection
+
+    projected 8-chip wall = single-chip wall x (max-shard units / mean)
+                            / n_shards
+
+uses MEASURED skew. Trip counts are hardware-independent (the controller
+is deterministic; CPU vs TPU differ at codegen-ULP level which does not
+move counts at this aggregation), so CPU trips are a faithful stand-in
+for chip-time shares.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+         JAX_PLATFORMS=cpu python benchmarks/multichip_skew.py
+  env: SKEW_DAYS (default 10; 30 = full north star, slower),
+       SKEW_NSOURCE (4800), SKEW_SHARDS (8), SKEW_CHUNK (60).
+Writes benchmarks/r4_results/multichip_skew.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+nshards = int(os.environ.get("SKEW_SHARDS", "8"))
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + f" --xla_force_host_platform_device_count={nshards}")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import rwrt_tpu as rt  # noqa: E402
+from rwrt_tpu import tracer  # noqa: E402
+from rwrt_tpu.models import ray as ray_mod  # noqa: E402
+from rwrt_tpu.solvers import rk45 as rk45_mod  # noqa: E402
+from rwrt_tpu.parallel import sharding as sh  # noqa: E402
+from bench import climatology_background  # noqa: E402
+
+
+def main():
+    days = float(os.environ.get("SKEW_DAYS", "10"))
+    nsource = int(os.environ.get("SKEW_NSOURCE", "4800"))
+    chunk = int(os.environ.get("SKEW_CHUNK", "60"))
+    dtype = "float32"
+    tstep = 7200.0
+    nt_m1 = int(days * 86400.0 / tstep)
+
+    u, v, lat, lon = climatology_background()
+    bs = rt.prepare(u, v, lat, lon, cal_dtype=dtype)
+    bg = tracer.make_background(bs, freq=0.0)
+
+    rng = np.random.default_rng(0)
+    slon = jnp.asarray(rng.uniform(0, 2 * np.pi, nsource), dtype)
+    slat = jnp.asarray(
+        rng.uniform(np.radians(-65), np.radians(65), nsource), dtype)
+    zwn = jnp.asarray(np.arange(1, 8, dtype=np.float64), dtype)
+    y0, _, _ = tracer.initialize(bg, slon, slat, zwn)
+    idx = tracer.compact_lane_indices(np.isfinite(np.asarray(y0[4])))
+    if idx is not None:
+        y0 = jnp.take(y0, jnp.asarray(idx), axis=1)
+
+    mesh = sh.make_mesh(nshards)
+    y0, _ = sh.pad_rays(y0, nshards)
+    n_lanes = y0.shape[1]
+    y0 = sh.shard_rays(y0, mesh)
+    bg = sh.replicate(bg, mesh)
+
+    rtol = rk45_mod.validate_tol(jnp.asarray(1e-6, dtype), dtype)
+    atol = jnp.asarray(1e-6, dtype)
+    min_step = jnp.asarray(1e-3 * tstep, dtype)
+    dt = jnp.asarray(tstep, dtype)
+    cut_off = jnp.asarray(0.1 * tstep / 3600.0, dtype)
+
+    h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
+    f0, _ = ray_mod.rhs(bg, y0)
+    carry = (y0, jnp.zeros(n_lanes, dtype), h0, f0, y0[0], y0[1])
+
+    per_chunk = []   # (n_chunks, n_shards) trip counts
+    walls = []
+    step = 1
+    while step <= nt_m1:
+        n = min(chunk, nt_m1 - step + 1)
+        bounds = jnp.arange(step, step + n, dtype=dtype) * dt
+        t0 = time.perf_counter()
+        carry, (_ys, _ugs, _vgs, iters, _nf, _la) = (
+            tracer._rk45_group_chunk_shardmap(
+                mesh, bg, *carry, bounds, cut_off, rtol, atol, min_step,
+                prev_att=None, dense=True))
+        it = np.asarray(iters)
+        walls.append(time.perf_counter() - t0)
+        per_chunk.append(it.tolist())
+        print(f"# chunk [{step},{step + n}) wall={walls[-1]:.1f}s "
+              f"shard trips={it.tolist()}", flush=True)
+        step += n
+
+    per_chunk = np.asarray(per_chunk)
+    tot = per_chunk.sum(axis=0).astype(float)
+    skew = float(tot.max() / tot.mean())
+    rec = {
+        "days": days, "nsource": nsource, "n_device_lanes": int(n_lanes),
+        "n_shards": nshards, "chunk_steps": chunk,
+        "per_shard_total_trips": tot.tolist(),
+        "per_chunk_trips": per_chunk.tolist(),
+        "skew_max_over_mean": round(skew, 4),
+        # Chunk-level barrier accounting: the chunked driver syncs between
+        # chunks, so the honest projection uses the PER-CHUNK max, not the
+        # whole-run max (stragglers can sit on different shards in
+        # different chunks).
+        "skew_chunk_barrier": round(float(
+            per_chunk.max(axis=1).sum() / per_chunk.mean(axis=1).sum()), 4),
+        "projection": "8-chip wall = single-chip wall * skew / n_shards",
+        "cpu_walls": [round(w, 1) for w in walls],
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "r4_results", "multichip_skew.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps({k: v for k, v in rec.items()
+                      if k != "per_chunk_trips"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

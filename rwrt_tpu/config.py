@@ -75,6 +75,25 @@ class RunConfig:
     peel: bool = True
     peel_caps: Sequence[int] = (24, 96)
     peel_caps_exact: Optional[Sequence[int]] = None
+    # Straggler PHYSICAL retirement for bound_mode='dense' (the schedulers
+    # above only work AROUND a pinned lane; this retires it). A lane
+    # grinding toward a critical layer (Ks -> zwn, u -> 0) has |l| -> inf
+    # and group speed -> 0: the reference kills it only at |l| >= 100
+    # (wr.py:509) after thousands of error-controlled steps at the step
+    # floor (~1000 accepted floor steps per 2 h output interval -- the
+    # late-run straggler tail). pin_limit (int) NaN-retires a lane after
+    # that many CONSECUTIVE accepted floor steps, but only once |l| >=
+    # pin_mwn, i.e. well past any recoverable excursion and already on the
+    # one-way grind to the |l| cap; the kill reuses the ordinary NaN death
+    # path, so emitted samples before retirement are untouched. None (the
+    # default) disables the knob entirely and the dense path is
+    # bitwise-identical to earlier releases. Changes OUTPUT only by ending
+    # a doomed lane's trajectory a few output intervals before the |l| cap
+    # would (gated in tests/test_pin_kill.py); flux/wavenumber diagnostics
+    # at default thresholds are unaffected (that lane's group speed is
+    # below any Fun1 threshold long before pinning).
+    pin_limit: Optional[int] = None
+    pin_mwn: float = 50.0
     # Difficulty-bucketed lane scheduling for the grouped adaptive path
     # (tracer._rk45_group_chunk_bucketed): lanes sorted by the previous
     # chunk's per-lane attempt count run as this many equal slices, each its
@@ -223,4 +242,20 @@ class RunConfig:
                     "which needs interval_batch > 1 and nt > 2 (got "
                     f"interval_batch={self.interval_batch}, nt={self.nt}); "
                     "use bound_mode='exact' for these settings")
+        if self.pin_limit is not None:
+            if self.bound_mode != "dense":
+                # Implemented on the dense integrator only (the headline
+                # mode; exact mode's grind is the same physics but its
+                # integrator does not carry the floor counter). Reject
+                # rather than silently ignore.
+                raise ValueError(
+                    "pin_limit is implemented for bound_mode='dense' only")
+            if int(self.pin_limit) < 1:
+                raise ValueError("pin_limit must be a positive int")
+            from rwrt_tpu.constants import mwn_cap
+
+            if not (0 < float(self.pin_mwn) <= mwn_cap):
+                raise ValueError(
+                    f"pin_mwn must be in (0, {mwn_cap}] (the reference's "
+                    f"|m| kill cap), got {self.pin_mwn}")
         return self

@@ -315,7 +315,8 @@ def _dense_postpass(bg, hist, y, t, h, f, prev_lon, prev_lat, bounds,
 
 @jax.jit
 def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
-                            cut_off, rtol, atol, min_step):
+                            cut_off, rtol, atol, min_step,
+                            pin_limit=None, pin_mwn=None):
     """One group of output bounds via FREE-STEPPING dense output
     (solvers/rk45.py integrate_group_dense + _dense_postpass).
 
@@ -326,6 +327,9 @@ def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
     cadence). Agreement with the exact path is tolerance-level (gated in
     tests); results depend (at tolerance level) on the chunk split, since
     chunk boundaries still clamp.
+
+    pin_limit/pin_mwn (device scalars or None): straggler pin-kill
+    thresholds, see solvers/rk45.py integrate_group_dense.
     """
 
     def rhs_fn(yy, tt=0.0):
@@ -333,9 +337,10 @@ def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
         return dy
 
     nan0 = jnp.isnan(jnp.mean(y, axis=0))
-    hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
+    hist, y2, t2, h2, f2, iters, nfev, la, _, _, _ = (
         rk45_mod.integrate_group_dense(
-            rhs_fn, y, t, h, f, bounds, rtol, atol, min_step))
+            rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
+            pin_limit=pin_limit, pin_mwn=pin_mwn))
     return _dense_postpass(bg, hist, y2, t2, h2, f2, prev_lon, prev_lat,
                            bounds, cut_off, nan0, iters, nfev, la)
 
@@ -358,7 +363,8 @@ def _dense_init_state(y, bounds):
 
 @jax.jit
 def _dense_phase(bg, y, t, h, f, bounds, rtol, atol, min_step, cap,
-                 hist, rejected, new_step, lane_att):
+                 hist, rejected, new_step, lane_att, floor_acc,
+                 pin_limit=None, pin_mwn=None):
     """One capped leg of a suspendable dense integration (cap is traced, so
     every leg of every peel round shares one compiled program per width)."""
 
@@ -368,7 +374,9 @@ def _dense_phase(bg, y, t, h, f, bounds, rtol, atol, min_step, cap,
 
     return rk45_mod.integrate_group_dense(
         rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
-        max_iters=cap, state0=(hist, rejected, new_step, lane_att),
+        max_iters=cap,
+        state0=(hist, rejected, new_step, lane_att, floor_acc),
+        pin_limit=pin_limit, pin_mwn=pin_mwn,
     )
 
 
@@ -434,8 +442,9 @@ def _peel_drive(r, caps, min_width, cap_ceiling, run_leg, leg_stats):
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
-def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
-                        rtol, atol, min_step, cap, w: int):
+def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, fa, bounds,
+                        rtol, atol, min_step, cap, w: int,
+                        pin_limit=None, pin_mwn=None):
     """One capped leg over the unfinished-lane SUBSET, fused select ->
     gather -> integrate -> scatter in a single program. The peel
     orchestrator's per-round footprint must stay at one kernel call plus
@@ -457,22 +466,26 @@ def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
     def g1(a):
         return jnp.take(a, idx, axis=-1)
 
-    (hist_s, y_s, t_s, h_s, f_s, it, nf, la_s, rej_s, ns_s) = (
+    (hist_s, y_s, t_s, h_s, f_s, it, nf, la_s, rej_s, ns_s, fa_s) = (
         rk45_mod.integrate_group_dense(
             rhs_fn, g1(yv), g1(tv), g1(hv), g1(fv), bounds, rtol, atol,
             min_step, max_iters=cap,
-            state0=(jnp.take(hist, idx, axis=-1), g1(rej), g1(ns), g1(la)),
+            state0=(jnp.take(hist, idx, axis=-1), g1(rej), g1(ns), g1(la),
+                    g1(fa)),
+            pin_limit=pin_limit, pin_mwn=pin_mwn,
         ))
     return (yv.at[..., idx].set(y_s), tv.at[idx].set(t_s),
             hv.at[idx].set(h_s), fv.at[..., idx].set(f_s),
             hist.at[..., idx].set(hist_s), rej.at[idx].set(rej_s),
-            ns.at[idx].set(ns_s), la.at[idx].set(la_s), it, nf)
+            ns.at[idx].set(ns_s), la.at[idx].set(la_s),
+            fa.at[idx].set(fa_s), it, nf)
 
 
 def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
                                    bounds, cut_off, rtol, atol, min_step,
                                    caps=(24, 96), min_width=512,
-                                   cap_ceiling=None):
+                                   cap_ceiling=None,
+                                   pin_limit=None, pin_mwn=None):
     """Dense chunk under PEEL scheduling: bitwise-equal to
     _rk45_group_chunk_dense, typically ~3-4x cheaper at 100k-lane scale.
 
@@ -497,22 +510,23 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
     """
     r = t.shape[0]
     nan0 = jnp.isnan(jnp.mean(y, axis=0))
-    hist, rej, ns, la, t_shift = _dense_init_state(y, bounds)
+    hist, rej, ns, la, fa, t_shift = _dense_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
     yv, tv, hv, fv = y, t, h, f
 
     def run_leg(cap_v, w):
-        nonlocal hist, yv, tv, hv, fv, rej, ns, la
+        nonlocal hist, yv, tv, hv, fv, rej, ns, la, fa
         if w is None:
-            (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
+            (hist, yv, tv, hv, fv, it, nf, la, rej, ns, fa) = _dense_phase(
                 bg, yv, tv, hv, fv, bounds, rtol, atol, min_step, cap_v,
-                hist, rej, ns, la)
+                hist, rej, ns, la, fa, pin_limit, pin_mwn)
         else:
-            (yv, tv, hv, fv, hist, rej, ns, la, it, nf) = (
+            (yv, tv, hv, fv, hist, rej, ns, la, fa, it, nf) = (
                 _dense_phase_subset(
-                    bg, yv, tv, hv, fv, hist, rej, ns, la,
-                    bounds, rtol, atol, min_step, cap_v, w=w))
+                    bg, yv, tv, hv, fv, hist, rej, ns, la, fa,
+                    bounds, rtol, atol, min_step, cap_v, w=w,
+                    pin_limit=pin_limit, pin_mwn=pin_mwn))
         return it, nf
 
     units, nfev_total = _peel_drive(
@@ -677,7 +691,8 @@ def _rk45_group_chunk_peeled(bg, y, t, h, f, prev_lon, prev_lat, bounds,
 def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
                                cut_off, rtol, atol, min_step, prev_att,
                                k_buckets: int = 8, dense: bool = False,
-                               max_iters=1_000_000):
+                               max_iters=1_000_000,
+                               pin_limit=None, pin_mwn=None):
     """_rk45_group_chunk with difficulty-bucketed lane scheduling.
 
     The grouped while-loop's trip count is max-over-lanes of step attempts,
@@ -753,7 +768,7 @@ def _rk45_group_chunk_bucketed(bg, y, t, h, f, prev_lon, prev_lat, bounds,
             yy, tt, hh, ff = args
             return rk45_mod.integrate_group_dense(
                 rhs_fn, yy, tt, hh, ff, bounds, rtol, atol, min_step,
-                max_iters,
+                max_iters, pin_limit=pin_limit, pin_mwn=pin_mwn,
             )[:8]
 
         (hist, y2, t2, h2, f2, iters, nfev, la) = jax.lax.map(
@@ -829,11 +844,14 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
 
 @functools.partial(jax.jit, static_argnames=("nt", "group", "dense"))
 def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
-                      min_step, group: int = 8, dense: bool = False):
+                      min_step, group: int = 8, dense: bool = False,
+                      pin_limit=None, pin_mwn=None):
     """Adaptive run via group-asynchronous intervals (bit-identical to
     _run_rk45, ~2x fewer device-loop iterations; see integrate_group).
     dense=True switches each group to free-stepping dense output
-    (_rk45_group_chunk_dense semantics; NOT bit-identical, see bound_mode)."""
+    (_rk45_group_chunk_dense semantics; NOT bit-identical, see bound_mode).
+    pin_limit/pin_mwn: dense-mode straggler pin-kill thresholds
+    (solvers/rk45.py integrate_group_dense)."""
 
     def rhs_fn(yy, tt=0.0):
         dy, _ = ray_mod.rhs(bg, yy, tt)
@@ -857,9 +875,10 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
         if dense:
             y, t, h, f, pl, pa = carry
             nan0 = jnp.isnan(jnp.mean(y, axis=0))
-            hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
+            hist, y2, t2, h2, f2, iters, nfev, la, _, _, _ = (
                 rk45_mod.integrate_group_dense(
-                    rhs_fn, y, t, h, f, bounds, rtol, atol, min_step))
+                    rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
+                    pin_limit=pin_limit, pin_mwn=pin_mwn))
             carry, (hist, ugs, vgs, iters, nfev, _) = _dense_postpass(
                 bg, hist, y2, t2, h2, f2, pl, pa, bounds, cut_off, nan0,
                 iters, nfev, la)
@@ -958,11 +977,13 @@ def _make_rk45_sharded_fn(mesh, nt: int, group: int,
     """
     sp = _ray_specs()
 
-    def local(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step):
+    def local(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step,
+              pin_limit, pin_mwn):
         if group > 1 and nt > 2:
             ys, ugs, vgs, iters, nfev = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=group, dense=dense,
+                pin_limit=pin_limit, pin_mwn=pin_mwn,
             )
         else:
             ys, ugs, vgs, iters, nfev = _run_rk45(
@@ -974,13 +995,24 @@ def _make_rk45_sharded_fn(mesh, nt: int, group: int,
         local, mesh=mesh,
         in_specs=(_bg_spec(sp, member_sharded), sp["l2"], sp["lane"],
                   sp["lane"], sp["rep"], sp["rep"], sp["rep"], sp["rep"],
-                  sp["rep"]),
+                  sp["rep"], sp["rep"], sp["rep"]),
         out_specs=(sp["l3"], sp["l2"], sp["l2"], sp["shard"], sp["shard"]),
     ))
 
 
+def _pin_scalars(pin_limit, pin_mwn, dtype):
+    """Config pin thresholds -> the fixed (i32, dtype) device-scalar pair
+    the shard_map wrappers take (their in_specs structure cannot vary with
+    the knob). None -> the never-fires sentinel, so the shard_map path has
+    ONE signature and the OFF behavior stays bitwise-identical."""
+    if pin_limit is None:
+        return _dev_i32(2 ** 30), jnp.asarray(jnp.inf, dtype)
+    return _dev_i32(int(pin_limit)), jnp.asarray(pin_mwn, dtype)
+
+
 def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
-                      min_step, group: int, dense: bool = False):
+                      min_step, group: int, dense: bool = False,
+                      pin_limit=None, pin_mwn=None):
     """Multi-chip adaptive run via shard_map (see _make_rk45_sharded_fn).
 
     Returns (ys, ugs, vgs, iters, nfev) with iters/nfev shaped
@@ -990,7 +1022,9 @@ def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     fn = _make_rk45_sharded_fn(mesh, nt, group,
                                member_sharded=bg.member_ids is not None,
                                dense=dense)
-    return fn(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step)
+    pl_s, pm_s = _pin_scalars(pin_limit, pin_mwn, y0.dtype)
+    return fn(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step,
+              pl_s, pm_s)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1005,18 +1039,20 @@ def _make_group_chunk_shardmap_fn(mesh, dense: bool = False,
     sp = _ray_specs()
 
     def local(bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol, min_step,
-              prev_att):
+              prev_att, pin_limit, pin_mwn):
         if k_buckets > 1:
             (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
                 _rk45_group_chunk_bucketed(
                     bg, y, t, h, f, pl, pa, bounds, cut_off, rtol, atol,
-                    min_step, prev_att, k_buckets=k_buckets, dense=dense)
+                    min_step, prev_att, k_buckets=k_buckets, dense=dense,
+                    pin_limit=pin_limit, pin_mwn=pin_mwn)
             )
             iters = jnp.sum(iters)
         elif dense:
             (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
                 _rk45_group_chunk_dense(bg, y, t, h, f, pl, pa, bounds,
-                                        cut_off, rtol, atol, min_step)
+                                        cut_off, rtol, atol, min_step,
+                                        pin_limit=pin_limit, pin_mwn=pin_mwn)
             )
         else:
             (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att) = (
@@ -1030,7 +1066,7 @@ def _make_group_chunk_shardmap_fn(mesh, dense: bool = False,
         local, mesh=mesh,
         in_specs=(sp["rep"], sp["l2"], sp["lane"], sp["lane"], sp["l2"],
                   sp["lane"], sp["lane"], sp["rep"], sp["rep"], sp["rep"],
-                  sp["rep"], sp["rep"], sp["lane"]),
+                  sp["rep"], sp["rep"], sp["lane"], sp["rep"], sp["rep"]),
         out_specs=(sp["l2"], sp["lane"], sp["lane"], sp["l2"], sp["lane"],
                    sp["lane"], sp["l3"], sp["l2"], sp["l2"], sp["lane"],
                    sp["lane"], sp["lane"]),
@@ -1040,13 +1076,15 @@ def _make_group_chunk_shardmap_fn(mesh, dense: bool = False,
 def _rk45_group_chunk_shardmap(mesh, bg, y, t, h, f, prev_lon, prev_lat,
                                bounds, cut_off, rtol, atol, min_step,
                                prev_att=None, dense: bool = False,
-                               k_buckets: int = 1):
+                               k_buckets: int = 1,
+                               pin_limit=None, pin_mwn=None):
     if prev_att is None:
         prev_att = jnp.full(t.shape[0], -1, jnp.int32)
+    pl_s, pm_s = _pin_scalars(pin_limit, pin_mwn, y.dtype)
     y, t, h, f, pl, pa, hist, ugs, vgs, iters, nfev, lane_att = (
         _make_group_chunk_shardmap_fn(mesh, dense, k_buckets)(
             bg, y, t, h, f, prev_lon, prev_lat, bounds, cut_off, rtol, atol,
-            min_step, prev_att,
+            min_step, prev_att, pl_s, pm_s,
         )
     )
     return (y, t, h, f, pl, pa), (hist, ugs, vgs, iters, nfev, lane_att)
@@ -1204,12 +1242,14 @@ def trace_rays(
                 mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                 min_step, group=min(config.interval_batch, nt - 1),
                 dense=(config.bound_mode == "dense"),
+                pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
             )
         elif config.interval_batch > 1 and nt > 2:
             ys, ugs, vgs, _, _ = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=min(config.interval_batch, nt - 1),
                 dense=(config.bound_mode == "dense"),
+                pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
             )
         else:
             ys, ugs, vgs, _, _ = _run_rk45(
@@ -1375,12 +1415,14 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
             mesh, ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
             min_step, group=min(config.interval_batch, nt - 1),
             dense=(config.bound_mode == "dense"),
+            pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
         )
     elif config.interval_batch > 1 and nt > 2:
         ys, ugs, vgs, _, _ = _run_rk45_grouped(
             ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
             group=min(config.interval_batch, nt - 1),
             dense=(config.bound_mode == "dense"),
+            pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
         )
     else:
         ys, ugs, vgs, _, _ = _run_rk45(

@@ -69,6 +69,20 @@ def _load(path):
     return step, y, t, h, hist, lanes, n_rays
 
 
+class ChunkBudgetReached(RuntimeError):
+    """Raised by trace_rays_chunked(max_chunks=...) after the budgeted
+    number of chunks: the checkpoint (and any streamed history) hold
+    everything computed so far; re-invoking with the same checkpoint_path
+    resumes. Lets a caller bound one PROCESS's accumulated device
+    execution (some remote workers fault past a few seconds of it) and
+    chain attempts, the way bench.py chains span subprocesses."""
+
+    def __init__(self, step, nt):
+        super().__init__(f"chunk budget reached at output step {step}/{nt}")
+        self.step = step
+        self.nt = nt
+
+
 def trace_rays_chunked(
     bs: BasicState,
     config: RunConfig,
@@ -84,6 +98,7 @@ def trace_rays_chunked(
     initial_state=None,
     stream_dir: Optional[str] = None,
     compact_min_width: int = 256,
+    max_chunks: Optional[int] = None,
 ) -> RayTrajectories:
     """Like tracer.trace_rays but chunked, with progress + checkpointing.
 
@@ -93,6 +108,10 @@ def trace_rays_chunked(
     gather touches the field stack in near-sorted order, and dead (NaN) rays
     cluster at the end. History is written back through the lane->ray map so
     outputs are in the original order.
+
+    max_chunks: cooperative chunk budget -- after this many chunks the
+    driver checkpoints (checkpoint_path required) and raises
+    ChunkBudgetReached instead of continuing; re-invoke to resume.
 
     stream_dir: stream the history to disk instead of holding it in host
     RAM -- one memmapped ``<var>.npy`` per output variable, written chunk by
@@ -176,6 +195,13 @@ def trace_rays_chunked(
     min_step = jnp.asarray(
         min(config.min_step_factor * config.tstep, config.tstep * 1e-3), dtype
     )
+    # Straggler pin-kill thresholds as device scalars (once per run, not per
+    # chunk: through a remote-device tunnel every host scalar is a round
+    # trip). None = disabled (the dense integrator's never-fires path).
+    pin_limit = pin_mwn = None
+    if config.pin_limit is not None:
+        pin_limit = jnp.asarray(int(config.pin_limit), jnp.int32)
+        pin_mwn = jnp.asarray(config.pin_mwn, dtype)
 
     if verbose:
         run_banner(config, bs.nlon, bs.nlat)
@@ -384,6 +410,7 @@ def trace_rays_chunked(
 
     progress = Progress(nt - 1) if verbose else None
     step = start
+    chunks_done = 0
     while step < nt:
         if sort_rays:
             _resort()
@@ -408,6 +435,7 @@ def trace_rays_chunked(
                         prev_att=prev_att,
                         dense=(config.bound_mode == "dense"),
                         k_buckets=k_mesh,
+                        pin_limit=pin_limit, pin_mwn=pin_mwn,
                     ))
                 # iters is per-shard (and per-slice-summed when bucketed);
                 # each iteration advances one shard's lanes (one slice's
@@ -424,6 +452,7 @@ def trace_rays_chunked(
                         cut_off, rtol, atol, min_step, prev_att,
                         k_buckets=config.difficulty_buckets,
                         dense=(config.bound_mode == "dense"),
+                        pin_limit=pin_limit, pin_mwn=pin_mwn,
                     ))
                 # iters is per-slice; each iteration advances one slice of
                 # ceil(n_lanes / K) lanes.
@@ -437,6 +466,7 @@ def trace_rays_chunked(
                         bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
                         cut_off, rtol, atol, min_step,
                         caps=tuple(config.peel_caps),
+                        pin_limit=pin_limit, pin_mwn=pin_mwn,
                     ))
                 # peeled iters is already lane-iteration units
                 ray_steps = int(np.asarray(iters))
@@ -446,6 +476,7 @@ def trace_rays_chunked(
                     _tracer_mod._rk45_group_chunk_dense(
                         bg, y, t, h, f_carry, prev_lon, prev_lat, t_bounds,
                         cut_off, rtol, atol, min_step,
+                        pin_limit=pin_limit, pin_mwn=pin_mwn,
                     ))
                 ray_steps = int(np.asarray(iters)) * n_lanes
             elif config.peel and n_lanes >= 64:
@@ -524,6 +555,14 @@ def trace_rays_chunked(
             if stream_dir:
                 for v in hist.values():
                     v.flush()
+        chunks_done += 1
+        if (max_chunks is not None and chunks_done >= max_chunks
+                and step < nt and all_dead_at is None):
+            # all_dead takes precedence: that path COMPLETES the run for
+            # free (tail prefill on host), so never trade it for a resume.
+            if not checkpoint_path:
+                raise ValueError("max_chunks needs checkpoint_path")
+            raise ChunkBudgetReached(step, nt)
         if all_dead_at is not None:
             # Every born ray is dead: the remaining history is fully
             # determined (NaN for dead rays; never-born rootless lanes stay
