@@ -15,8 +15,7 @@ is deterministic; CPU vs TPU differ at codegen-ULP level which does not
 move counts at this aggregation), so CPU trips are a faithful stand-in
 for chip-time shares.
 
-Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-         JAX_PLATFORMS=cpu python benchmarks/multichip_skew.py
+Usage: python benchmarks/multichip_skew.py   (forces CPU itself)
   env: SKEW_DAYS (default 10; 30 = full north star, slower),
        SKEW_NSOURCE (4800), SKEW_SHARDS (8), SKEW_CHUNK (60).
 Writes benchmarks/r4_results/multichip_skew.json.
@@ -31,12 +30,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 nshards = int(os.environ.get("SKEW_SHARDS", "8"))
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + f" --xla_force_host_platform_device_count={nshards}")
 
 import jax  # noqa: E402
+
+# The ambient sitecustomize imports jax at interpreter start with the axon
+# TPU plugin pinned, overriding the env var -- re-override via jax.config
+# (same dance as tests/conftest.py). This probe must NOT touch the TPU: it
+# measures deterministic trip counts, and the tunnel serves one client.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", nshards)
+
 import jax.numpy as jnp  # noqa: E402
 
 import rwrt_tpu as rt  # noqa: E402

@@ -19,8 +19,8 @@ Writes benchmarks/r4_results/straggler_probe.npz with per-chunk per-lane
 
 Usage: python benchmarks/straggler_probe.py    (TPU; ~1-2 min device)
   env: PROBE_NSOURCE (default 1200), PROBE_DAYS (default 30),
-       PROBE_CHUNK (default 60 bounds), JAX_PLATFORMS=cpu for a small
-       CPU shakeout (use PROBE_NSOURCE=48 PROBE_DAYS=4 there).
+       PROBE_CHUNK (default 60 bounds), PROBE_CPU=1 for a CPU run
+       (smaller PROBE_NSOURCE recommended there).
 """
 
 import json
@@ -33,6 +33,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("PROBE_CPU") == "1":
+    # The ambient sitecustomize pins the axon TPU plugin regardless of
+    # JAX_PLATFORMS; re-override via jax.config (tests/conftest.py dance)
+    # for a CPU run that never touches the tunnel.
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -113,8 +119,9 @@ def main():
         step += n
 
     arrs = {k: np.stack(v) for k, v in recs.items()}
+    suffix = "_cpu" if os.environ.get("PROBE_CPU") == "1" else ""
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "r4_results", "straggler_probe.npz")
+                       "r4_results", f"straggler_probe{suffix}.npz")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez(out, walls=np.asarray(walls), min_step=float(min_step),
              n_lanes=n_lanes, **arrs)
