@@ -221,6 +221,19 @@ def test_pin_off_unreachable_through_driver(bs):
         )
 
 
+def test_pin_off_unreachable_through_fused(bs):
+    """The fused (non-chunked) dense runner takes pin as jit-traced Python
+    scalars; unreachable thresholds must be bitwise pin-off there too."""
+    off = tracer.trace_rays(bs, RunConfig(**CFG))
+    on = tracer.trace_rays(bs, RunConfig(pin_limit=2 ** 20, pin_mwn=100.0,
+                                         **CFG))
+    for k in ("lon", "lat", "ky", "amp"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(off, k)), np.asarray(getattr(on, k)),
+            rtol=0, atol=0, equal_nan=True, err_msg=k,
+        )
+
+
 def test_pin_config_validation():
     base = dict(CFG)
     RunConfig(pin_limit=500, pin_mwn=50.0, **base).validate()
