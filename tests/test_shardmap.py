@@ -101,7 +101,10 @@ def _sharded_args(bs, cfg, mesh):
     args = (bg, y0, ug0, vg0, jnp.asarray(cfg.tstep, dtype),
             jnp.asarray(cfg.cut_off_rad, dtype), rtol,
             jnp.asarray(cfg.atol, dtype),
-            jnp.asarray(cfg.min_step_factor * cfg.tstep, dtype))
+            jnp.asarray(cfg.min_step_factor * cfg.tstep, dtype),
+            # pin-kill sentinel scalars (tracer._pin_scalars(None, ...)):
+            # the shard_map builder's in_specs carry them unconditionally.
+            *tracer._pin_scalars(cfg.pin_limit, cfg.pin_mwn, dtype))
     return args
 
 
@@ -194,8 +197,8 @@ def test_gspmd_barrier_loop_would_collectivize(bs):
     proving the HLO probe can see them when present."""
     cfg = RunConfig(integrator="rk45", interval_batch=1, **CFG)
     mesh = sh.make_mesh(8)
-    bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step = _sharded_args(
-        bs, cfg, mesh)
+    (bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step,
+     _pl, _pm) = _sharded_args(bs, cfg, mesh)
     y0 = sh.shard_rays(y0, mesh)
     bg = jax.device_put(bg, sh.replicated(mesh))
 
