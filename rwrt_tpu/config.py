@@ -79,19 +79,23 @@ class RunConfig:
     # above only work AROUND a pinned lane; this retires it). A lane
     # grinding toward a critical layer (Ks -> zwn, u -> 0) has |l| -> inf
     # and group speed -> 0: the reference kills it only at |l| >= 100
-    # (wr.py:509) after thousands of error-controlled steps at the step
-    # floor (~1000 accepted floor steps per 2 h output interval -- the
-    # late-run straggler tail). pin_limit (int) NaN-retires a lane after
-    # that many CONSECUTIVE accepted floor steps, but only once |l| >=
-    # pin_mwn, i.e. well past any recoverable excursion and already on the
-    # one-way grind to the |l| cap; the kill reuses the ordinary NaN death
-    # path, so emitted samples before retirement are untouched. None (the
-    # default) disables the knob entirely and the dense path is
-    # bitwise-identical to earlier releases. Changes OUTPUT only by ending
-    # a doomed lane's trajectory a few output intervals before the |l| cap
-    # would (gated in tests/test_pin_kill.py); flux/wavenumber diagnostics
-    # at default thresholds are unaffected (that lane's group speed is
-    # below any Fun1 threshold long before pinning).
+    # (wr.py:509) after thousands of error-controlled near-floor steps
+    # (measured ~7000 step attempts per 60-bound chunk vs a lane-median of
+    # ~10 -- the late-run straggler tail). pin_limit (int) NaN-retires a
+    # lane once its per-chunk step-attempt count (lane_att, the cost
+    # signal the peel/bucketed schedulers already track) reaches that
+    # budget, but only while |l| >= pin_mwn, i.e. well past any
+    # recoverable excursion and already on the one-way grind to the |l|
+    # cap; the kill reuses the ordinary NaN death path, so emitted samples
+    # before retirement are untouched. None (the default) disables the
+    # knob entirely and the dense path is bitwise-identical to earlier
+    # releases. Changes OUTPUT only by ending a doomed lane's trajectory a
+    # few output intervals before the |l| cap would (gated in
+    # tests/test_pin_kill.py); flux/wavenumber diagnostics at default
+    # thresholds are unaffected (that lane's group speed is below any Fun1
+    # threshold long before pinning). Calibrate with
+    # benchmarks/straggler_probe.py; note the budget scales with the
+    # chunk's bound count (the counter resets at chunk entry).
     pin_limit: Optional[int] = None
     pin_mwn: float = 50.0
     # Difficulty-bucketed lane scheduling for the grouped adaptive path

@@ -282,9 +282,7 @@ def dense_entry_state(y, bounds):
     Frozen/dead lanes keep their entry state at every bound (rootless
     lanes: finite position, NaN wavenumber -- reference rkf45.py:400-403);
     live lanes' slots start NaN and are filled on emission. Returns
-    (hist0 (G, 5, R), rejected0, new_step0, lane_att0, floor_acc0, t_shift)
-    -- floor_acc0 is the consecutive-floor-step counter behind the
-    straggler pin-kill (see integrate_group_dense).
+    (hist0 (G, 5, R), rejected0, new_step0, lane_att0, t_shift).
     """
     g = bounds.shape[0]
     nan_mean = jnp.isnan(jnp.mean(y, axis=0))
@@ -298,7 +296,6 @@ def dense_entry_state(y, bounds):
     # flags inherit the carry's sharding/varying-axis type under shard_map.
     return (hist0, jnp.zeros_like(y[0], dtype=bool),
             jnp.ones_like(y[0], dtype=bool),
-            jnp.zeros_like(y[0], dtype=jnp.int32),
             jnp.zeros_like(y[0], dtype=jnp.int32), t_shift)
 
 
@@ -492,7 +489,6 @@ class _DenseCarry(NamedTuple):
     iters: jnp.ndarray
     nfev: jnp.ndarray
     lane_att: jnp.ndarray  # (R,) int32
-    floor_acc: jnp.ndarray  # (R,) int32 consecutive accepted floor steps
 
 
 def integrate_group_dense(
@@ -529,27 +525,28 @@ def integrate_group_dense(
     SUSPEND/RESUME (the peel scheduler's primitive): the loop stops once
     ``iters`` reaches ``max_iters`` (may be a traced scalar); the returned
     (y, t, h, f) plus ``state0``-shaped (hist, rejected, new_step,
-    lane_attempts, floor_acc) are a complete mid-chunk snapshot. Passing
-    them back via ``state0`` (possibly gathered to a lane SUBSET -- every
-    per-lane quantity is independent) continues the integration
-    bitwise-exactly; lanes with t == bounds[-1] re-enter as finished no-ops.
+    lane_attempts) are a complete mid-chunk snapshot. Passing them back via
+    ``state0`` (possibly gathered to a lane SUBSET -- every per-lane
+    quantity is independent) continues the integration bitwise-exactly;
+    lanes with t == bounds[-1] re-enter as finished no-ops.
 
     STRAGGLER PIN-KILL (``pin_limit``/``pin_mwn``/``pin_row``): a lane
     approaching a critical layer (Ks -> zwn, u -> 0) has |l| -> inf and
     group speed -> 0; the reference retires it only at |l| >= 100
     (reference wr.py:509) after grinding thousands of error-controlled
-    steps at the step floor (~1000 accepted floor steps per 2 h output
-    interval -- the late-run straggler tail that dominates day-20..30
-    wall). When enabled, a lane that has taken ``pin_limit`` CONSECUTIVE
-    accepted steps at the floor (hstep <= min_step; the counter resets on
-    any accepted above-floor step and survives suspend/resume) while
-    |y[pin_row]| >= ``pin_mwn`` is NaN-retired through the ordinary kill
-    path -- the same death the |m| cap would impose, detected from its
-    precursor (floor-pinned error control + runaway wavenumber) instead of
-    the cap crossing. Bounds crossed by already-accepted steps keep their
-    emitted samples; later bounds stay NaN exactly like a natural
-    mid-chunk death. Disabled (both None, the default) the extra counter
-    never fires and results are bitwise-identical to the pre-knob code.
+    near-floor steps (the late-run straggler tail that dominates the
+    day-20..30 wall; measured ~7000 attempts per 60-bound chunk vs a
+    lane-median of ~10). When enabled, a lane whose per-chunk step-attempt
+    count ``lane_att`` (the cost signal the peel/bucketed schedulers
+    already track; resets at chunk entry, travels through suspend/resume)
+    reaches ``pin_limit`` while |y[pin_row]| >= ``pin_mwn`` is NaN-retired
+    through the ordinary kill path -- the same death the |m| cap would
+    impose, detected from its precursor (cost explosion + runaway
+    wavenumber) instead of the cap crossing. Bounds crossed by
+    already-accepted steps keep their emitted samples; later bounds stay
+    NaN exactly like a natural mid-chunk death. Disabled (both None, the
+    default) the check rides a never-firing sentinel and results are
+    bitwise-identical to the pre-knob code.
     """
     g = bounds.shape[0]
     r = t.shape[0]
@@ -561,11 +558,11 @@ def integrate_group_dense(
         pin_limit = jnp.asarray(2 ** 30, jnp.int32)
         pin_mwn = jnp.asarray(jnp.inf, y.dtype)
     if state0 is None:
-        (hist0, rejected0, new_step0, lane_att0, floor_acc0,
+        (hist0, rejected0, new_step0, lane_att0,
          t_shift) = dense_entry_state(y, bounds)
         t0 = jnp.where(jnp.isnan(t_shift), t, t_shift)
     else:
-        hist0, rejected0, new_step0, lane_att0, floor_acc0 = state0
+        hist0, rejected0, new_step0, lane_att0 = state0
         t0 = t
 
     carry = _DenseCarry(
@@ -576,7 +573,6 @@ def integrate_group_dense(
         iters=jnp.zeros((), jnp.int32),
         nfev=jnp.zeros((), jnp.int32),
         lane_att=lane_att0,
-        floor_acc=floor_acc0,
     )
 
     def cond(c: _DenseCarry):
@@ -650,17 +646,14 @@ def integrate_group_dense(
         t_out = jnp.where(upd, t_new, c.t)
         y_out = jnp.where(upd[None, :], y_new, c.y)
 
-        # Straggler pin-kill (see docstring). The counter counts CONSECUTIVE
-        # accepted steps at the floor; hstep for a fresh step is >= min_step
-        # by the heff clamp, == min_step exactly when pinned, and can only
-        # drop below it on a t_end clamp or mid-rejection retry -- both of
-        # which are floor-grade progress and count. Retirement NaNs the lane
-        # BEFORE the dead-lane sweep below, so the ordinary kill path
-        # (t -> t_end, un-emitted bounds stay NaN) finishes it this trip.
-        floor_step = hstep <= min_step
-        floor_acc_out = jnp.where(
-            upd, jnp.where(floor_step, c.floor_acc + 1, 0), c.floor_acc)
-        retire = (upd & (floor_acc_out >= pin_limit)
+        # Straggler pin-kill (see docstring): per-chunk attempt count
+        # (lane_att, the schedulers' existing cost signal) past pin_limit
+        # while the wavenumber is past pin_mwn. Checked on ACCEPTED steps
+        # only so the emitted samples of the retiring step stay intact;
+        # NaN-ing BEFORE the dead-lane sweep below routes it through the
+        # ordinary kill path (t -> t_end, un-emitted bounds stay NaN).
+        lane_att_out = c.lane_att + act.astype(jnp.int32)
+        retire = (upd & (lane_att_out >= pin_limit)
                   & (jnp.abs(y_out[pin_row]) >= pin_mwn))
         y_out = jnp.where(retire[None, :], jnp.nan, y_out)
 
@@ -677,10 +670,9 @@ def integrate_group_dense(
             rejected=rejected_out, new_step=new_step_out,
             hist=hist_out,
             iters=c.iters + 1, nfev=c.nfev + 6,
-            lane_att=c.lane_att + act.astype(jnp.int32),
-            floor_acc=floor_acc_out,
+            lane_att=lane_att_out,
         )
 
     out = jax.lax.while_loop(cond, body, carry)
     return (out.hist, out.y, out.t, out.h, out.f, out.iters, out.nfev,
-            out.lane_att, out.rejected, out.new_step, out.floor_acc)
+            out.lane_att, out.rejected, out.new_step)

@@ -337,7 +337,7 @@ def _rk45_group_chunk_dense(bg, y, t, h, f, prev_lon, prev_lat, bounds,
         return dy
 
     nan0 = jnp.isnan(jnp.mean(y, axis=0))
-    hist, y2, t2, h2, f2, iters, nfev, la, _, _, _ = (
+    hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
         rk45_mod.integrate_group_dense(
             rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
             pin_limit=pin_limit, pin_mwn=pin_mwn))
@@ -363,7 +363,7 @@ def _dense_init_state(y, bounds):
 
 @jax.jit
 def _dense_phase(bg, y, t, h, f, bounds, rtol, atol, min_step, cap,
-                 hist, rejected, new_step, lane_att, floor_acc,
+                 hist, rejected, new_step, lane_att,
                  pin_limit=None, pin_mwn=None):
     """One capped leg of a suspendable dense integration (cap is traced, so
     every leg of every peel round shares one compiled program per width)."""
@@ -375,7 +375,7 @@ def _dense_phase(bg, y, t, h, f, bounds, rtol, atol, min_step, cap,
     return rk45_mod.integrate_group_dense(
         rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
         max_iters=cap,
-        state0=(hist, rejected, new_step, lane_att, floor_acc),
+        state0=(hist, rejected, new_step, lane_att),
         pin_limit=pin_limit, pin_mwn=pin_mwn,
     )
 
@@ -442,7 +442,7 @@ def _peel_drive(r, caps, min_width, cap_ceiling, run_leg, leg_stats):
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
-def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, fa, bounds,
+def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, bounds,
                         rtol, atol, min_step, cap, w: int,
                         pin_limit=None, pin_mwn=None):
     """One capped leg over the unfinished-lane SUBSET, fused select ->
@@ -466,19 +466,17 @@ def _dense_phase_subset(bg, yv, tv, hv, fv, hist, rej, ns, la, fa, bounds,
     def g1(a):
         return jnp.take(a, idx, axis=-1)
 
-    (hist_s, y_s, t_s, h_s, f_s, it, nf, la_s, rej_s, ns_s, fa_s) = (
+    (hist_s, y_s, t_s, h_s, f_s, it, nf, la_s, rej_s, ns_s) = (
         rk45_mod.integrate_group_dense(
             rhs_fn, g1(yv), g1(tv), g1(hv), g1(fv), bounds, rtol, atol,
             min_step, max_iters=cap,
-            state0=(jnp.take(hist, idx, axis=-1), g1(rej), g1(ns), g1(la),
-                    g1(fa)),
+            state0=(jnp.take(hist, idx, axis=-1), g1(rej), g1(ns), g1(la)),
             pin_limit=pin_limit, pin_mwn=pin_mwn,
         ))
     return (yv.at[..., idx].set(y_s), tv.at[idx].set(t_s),
             hv.at[idx].set(h_s), fv.at[..., idx].set(f_s),
             hist.at[..., idx].set(hist_s), rej.at[idx].set(rej_s),
-            ns.at[idx].set(ns_s), la.at[idx].set(la_s),
-            fa.at[idx].set(fa_s), it, nf)
+            ns.at[idx].set(ns_s), la.at[idx].set(la_s), it, nf)
 
 
 def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
@@ -510,21 +508,21 @@ def _rk45_group_chunk_dense_peeled(bg, y, t, h, f, prev_lon, prev_lat,
     """
     r = t.shape[0]
     nan0 = jnp.isnan(jnp.mean(y, axis=0))
-    hist, rej, ns, la, fa, t_shift = _dense_init_state(y, bounds)
+    hist, rej, ns, la, t_shift = _dense_init_state(y, bounds)
     t = jnp.where(jnp.isnan(t_shift), t, t_shift)
 
     yv, tv, hv, fv = y, t, h, f
 
     def run_leg(cap_v, w):
-        nonlocal hist, yv, tv, hv, fv, rej, ns, la, fa
+        nonlocal hist, yv, tv, hv, fv, rej, ns, la
         if w is None:
-            (hist, yv, tv, hv, fv, it, nf, la, rej, ns, fa) = _dense_phase(
+            (hist, yv, tv, hv, fv, it, nf, la, rej, ns) = _dense_phase(
                 bg, yv, tv, hv, fv, bounds, rtol, atol, min_step, cap_v,
-                hist, rej, ns, la, fa, pin_limit, pin_mwn)
+                hist, rej, ns, la, pin_limit, pin_mwn)
         else:
-            (yv, tv, hv, fv, hist, rej, ns, la, fa, it, nf) = (
+            (yv, tv, hv, fv, hist, rej, ns, la, it, nf) = (
                 _dense_phase_subset(
-                    bg, yv, tv, hv, fv, hist, rej, ns, la, fa,
+                    bg, yv, tv, hv, fv, hist, rej, ns, la,
                     bounds, rtol, atol, min_step, cap_v, w=w,
                     pin_limit=pin_limit, pin_mwn=pin_mwn))
         return it, nf
@@ -875,7 +873,7 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
         if dense:
             y, t, h, f, pl, pa = carry
             nan0 = jnp.isnan(jnp.mean(y, axis=0))
-            hist, y2, t2, h2, f2, iters, nfev, la, _, _, _ = (
+            hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
                 rk45_mod.integrate_group_dense(
                     rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
                     pin_limit=pin_limit, pin_mwn=pin_mwn))

@@ -1,17 +1,17 @@
 """Straggler pin-kill (RunConfig.pin_limit / pin_mwn).
 
 A lane grinding toward a critical layer takes thousands of error-controlled
-steps at the step floor before the |l| >= 100 cap (reference wr.py:509)
-retires it; pin_limit retires it from the grind's PRECURSOR (pin_limit
-consecutive accepted floor steps while |l| >= pin_mwn) through the ordinary
+near-floor steps before the |l| >= 100 cap (reference wr.py:509) retires
+it; pin_limit retires it from the grind's PRECURSOR (per-chunk step-attempt
+count lane_att >= pin_limit while |l| >= pin_mwn) through the ordinary
 NaN death path. These tests gate the contract:
 
 - OFF (default) and unreachable thresholds are bitwise no-ops;
 - retirement fires exactly on the documented condition, emitted samples
   before the retirement bound are bitwise-untouched, later bounds are NaN
   (the ordinary mid-chunk death pattern);
-- the floor counter travels correctly through the peel scheduler's
-  suspend/gather/resume (peeled == unpeeled, bitwise, with pin ON);
+- the attempt counter's retirement fires identically through the peel
+  scheduler's suspend/gather/resume (peeled == unpeeled, bitwise, pin ON);
 - config validation rejects the knob outside dense mode and bad values.
 
 The "retired lanes would have died under the |m| cap anyway" claim is
@@ -50,16 +50,17 @@ def bs(jet_field):
 # crosses the threshold, without waiting for real critical-layer physics.
 # ---------------------------------------------------------------------------
 
-OSC = 1.0e4  # forcing frequency: needs h ~ 1e-4 < the 1e-3 floor
+OSC = 1.0e4  # forcing frequency: demands h ~ 1e-4, far below easy lanes'
 
 
 def _osc_rhs(hard, grow):
     """Per-lane rhs with persistent accuracy-limited step demand: row1
     tracks a fast oscillation (per-lane flag `hard`; the error controller
-    wants h ~ 1/OSC, below the step floor, FOREVER -- the pinned-lane
-    grind, unlike stiff decay which self-relaxes); row3 (the |l| slot)
-    grows at per-lane rate `grow` so it crosses pin_mwn at a known time;
-    rows 0/2/4 advance at unit rate as progress markers."""
+    wants h ~ 1/OSC FOREVER -- the straggler grind, unlike stiff decay
+    which self-relaxes), so `hard` lanes rack up step attempts ~40x faster
+    than easy ones; row3 (the |l| slot) grows at per-lane rate `grow` so
+    it crosses pin_mwn at a known time; rows 0/2/4 advance at unit rate
+    as progress markers."""
 
     def rhs(y, t=0.0):
         one = jnp.ones_like(y[0])
@@ -84,10 +85,11 @@ def _run_dense(rhs, y0, bounds, min_step, **pin):
         jnp.asarray(min_step), **pin)
 
 
-# Lane design (R=8): 0,1 easy; 2,3 floor-pinned with |l| crossing pin_mwn
-# (=50) at t = (50-30)/400 = 0.05 -> retired mid-run; 4,5 floor-pinned but
-# |l| pinned near 0 -> spared by the |l| gate; 6,7 easy with |l| >= 50 from
-# the start -> spared by the floor gate.
+# Lane design (R=8): 0,1 easy; 2,3 grinding with |l| crossing pin_mwn
+# (=50) at t = (50-30)/400 = 0.05 -> retired mid-run (attempts are far
+# past pin_limit by then); 4,5 grinding but |l| pinned near 0 -> spared by
+# the |l| gate; 6,7 easy with |l| >= 50 from the start -> spared by the
+# attempts gate.
 HARD = jnp.asarray([0., 0., 1., 1., 1., 1., 0., 0.])
 GROW = jnp.asarray([0., 0., 400., -400., 0., 0., 0., 0.])
 Y3_0 = jnp.asarray([0., 0., 30., -30., 0., 0., 60., -60.])
@@ -95,29 +97,29 @@ BOUNDS = jnp.asarray([0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07],
                      jnp.float64)
 
 
-def test_pin_retires_only_floor_pinned_large_l_lanes():
-    """Three lane classes: easy (never at floor), pinned with small |l|
-    (floor-pinned but below pin_mwn -> NOT retired), pinned with growing
-    |l| (retired once the counter AND threshold are both met). Easy and
-    non-retired lanes must be bitwise identical to the pin-off run."""
+def test_pin_retires_only_grinding_large_l_lanes():
+    """Three lane classes: easy (few attempts), grinding with small |l|
+    (attempt budget blown but below pin_mwn -> NOT retired), grinding with
+    growing |l| (retired once the budget AND threshold are both met). Easy
+    and non-retired lanes must be bitwise identical to the pin-off run."""
     y0 = jnp.zeros((5, 8), jnp.float64).at[3].set(Y3_0)
     rhs = _osc_rhs(HARD, GROW)
 
     base = _run_dense(rhs, y0, BOUNDS, 1e-3)
     pin = _run_dense(rhs, y0, BOUNDS, 1e-3,
-                     pin_limit=jnp.asarray(10, jnp.int32),
+                     pin_limit=jnp.asarray(200, jnp.int32),
                      pin_mwn=jnp.asarray(50.0))
 
     hist_b, hist_p = np.asarray(base[0]), np.asarray(pin[0])
-    fa = np.asarray(pin[10])
+    la = np.asarray(pin[7])
 
     # Baseline: nobody dies (the forcing is bounded; just slow to resolve).
     assert np.isfinite(hist_b).all()
-    # Easy lanes and small-|l| pinned lanes: bitwise identical.
+    # Easy lanes and small-|l| grinding lanes: bitwise identical.
     for lane in (0, 1, 4, 5, 6, 7):
         np.testing.assert_array_equal(hist_b[..., lane], hist_p[..., lane],
                                       err_msg=f"lane {lane}")
-    # Large-|l| pinned lanes: retired (NaN at the later bounds)...
+    # Large-|l| grinding lanes: retired (NaN at the later bounds)...
     for lane in (2, 3):
         dead = np.isnan(hist_p[:, 0, lane])
         assert dead.any(), f"lane {lane} not retired"
@@ -129,11 +131,11 @@ def test_pin_retires_only_floor_pinned_large_l_lanes():
             err_msg=f"lane {lane} pre-retirement samples")
         # NaN is suffix-shaped: once dead, dead at every later bound.
         assert (np.diff(dead.astype(int)) >= 0).all(), lane
-    # The small-|l| pinned lanes really were floor-pinned (counter grew),
+    # The small-|l| grinding lanes really blew the attempt budget,
     # proving the |l| gate (not luck) is what spared them.
-    assert fa[4] >= 10 and fa[5] >= 10, fa
-    # Easy lanes never accumulated floor steps.
-    assert fa[0] < 3 and fa[7] < 3, fa
+    assert la[4] >= 200 and la[5] >= 200, la
+    # Easy lanes stayed far under the budget.
+    assert la[0] < 200 and la[7] < 200, la
 
 
 def test_pin_unreachable_thresholds_bitwise_noop():
@@ -145,17 +147,18 @@ def test_pin_unreachable_thresholds_bitwise_noop():
     armed = _run_dense(rhs, y0, BOUNDS[:3], 1e-3,
                        pin_limit=jnp.asarray(2 ** 20, jnp.int32),
                        pin_mwn=jnp.asarray(1e9))
-    for i in range(11):
+    for i in range(10):
         np.testing.assert_array_equal(np.asarray(base[i]),
                                       np.asarray(armed[i]), err_msg=str(i))
 
 
 def test_pin_counter_travels_through_peel(bs):
     """Peeled dense chunk with pin ON == unpeeled dense chunk with pin ON,
-    bitwise -- the floor counter must survive suspend/gather/resume (tiny
-    caps force every peel mechanism). Uses a tight rtol so real lanes
-    actually accumulate floor steps, and a low pin_limit so retirement
-    fires across peel legs if it fires at all."""
+    bitwise -- the attempt counter must retire identically through
+    suspend/gather/resume (tiny caps force every peel mechanism: a lane
+    suspended below the budget must cross it mid-resume exactly like the
+    uninterrupted loop). Uses a tight rtol so real lanes actually rack up
+    attempts, and a low pin_limit so retirement fires across peel legs."""
     bg = tracer.make_background(bs, 0.0)
     slon, slat = tracer.source_matrix(0.0, 5.0, 36.0, 8.0, 5, 4)
     zwn = jnp.asarray([2.0, 4.0, 6.0])
@@ -169,7 +172,7 @@ def test_pin_counter_travels_through_peel(bs):
     h0 = tracer.initial_step_sizes(bg, y0, rtol, atol)
     t0 = jnp.zeros(r, jnp.float64)
     f0, _ = ray_mod.rhs(bg, y0)
-    pinl = jnp.asarray(8, jnp.int32)
+    pinl = jnp.asarray(40, jnp.int32)
     pinm = jnp.asarray(3.0)  # low bar: let real lanes trip it
 
     cd = cp = (y0, t0, h0, f0, y0[0], y0[1])
