@@ -80,11 +80,13 @@ PIN_LIMIT=${PIN_LIMIT:-500}
 PIN_MWN=${PIN_MWN:-50}
 
 log "=== campaign start ==="
-run_probe straggler python3 benchmarks/straggler_probe.py
-run_bench_until_done d30_ns4800_dense 6
+# Records first -- they are what the driver's end-of-round bench re-merges;
+# probes are confirmatory and run on whatever healthy-worker time remains.
+run_bench_until_done d30_ns4800_dense 8
 BENCH_PIN_LIMIT=$PIN_LIMIT BENCH_PIN_MWN=$PIN_MWN \
   run_bench_until_done "d30_ns4800_dense_pin${PIN_LIMIT}m${PIN_MWN}" 6
 BENCH_DENSE=0 run_bench_until_done d30_ns4800 6
+run_probe straggler python3 benchmarks/straggler_probe.py
 run_probe mixed_precision python3 benchmarks/mixed_precision_probe.py
 run_probe hotpath python3 benchmarks/hotpath_profile.py
 run_probe spectral python3 benchmarks/spectral_probe.py
