@@ -101,6 +101,7 @@ def main():
         carry, (_ys, _ugs, _vgs, units, _nfev, la) = (
             tracer._rk45_group_chunk_dense_peeled(
                 bg, *carry, bounds, cut_off, rtol, atol, min_step,
+                min_width=int(os.environ.get("PROBE_MINW", "2048")),
                 cap_ceiling=2048))
         y_c, t_c, h_c = carry[0], carry[1], carry[2]
         la_h = np.asarray(la)
@@ -117,6 +118,17 @@ def main():
               f"p99={np.percentile(la_h, 99):.0f} max={la_h.max()}",
               flush=True)
         step += n
+        # Incremental snapshot: a killed/crashed probe keeps every chunk
+        # measured so far (XLA CPU compiles alone can cost ~1 h here).
+        _snap = {k: np.stack(v) for k, v in recs.items()}
+        _out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "r4_results",
+                            "straggler_probe"
+                            + ("_cpu" if os.environ.get("PROBE_CPU") == "1"
+                               else "") + ".npz")
+        os.makedirs(os.path.dirname(_out), exist_ok=True)
+        np.savez(_out, walls=np.asarray(walls), min_step=float(min_step),
+                 n_lanes=n_lanes, **_snap)
 
     arrs = {k: np.stack(v) for k, v in recs.items()}
     suffix = "_cpu" if os.environ.get("PROBE_CPU") == "1" else ""
