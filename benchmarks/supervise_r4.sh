@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-4 campaign supervisor: rerun the (idempotent) campaign until every
+# stage is done or the time budget expires.
+#
+# The campaign itself already skips completed stages (bench done-records,
+# probe .ok markers) and ladders through worker sick windows; what it does
+# NOT survive is exhausting one stage's retry budget inside a multi-hour
+# sick window and then burning the remaining stages' budgets in the same
+# window. This wrapper just restarts it with a breather so each sick window
+# costs one campaign pass, not the whole backlog.
+#
+# Usage: BUDGET_S=25200 bash benchmarks/supervise_r4.sh
+set -u
+cd "$(dirname "$0")/.."
+OUT=benchmarks/r4_results
+mkdir -p "$OUT"
+BUDGET_S=${BUDGET_S:-25200}
+START=$(date +%s)
+
+slog() { echo "[supervise $(date -u +%H:%M:%S)] $*" | tee -a "$OUT/supervise.log"; }
+
+all_done() {
+  # Mirror the campaign's stage completion checks.
+  python3 - <<'EOF'
+import json, os, sys
+workdir = os.environ.get("BENCH_WORKDIR", ".bench_workdir")
+pin = f"pin{int(os.environ.get('PIN_LIMIT', '500'))}m{float(os.environ.get('PIN_MWN', '50')):g}"
+keys = ["d30_ns4800_dense", f"d30_ns4800_dense_{pin}", "d30_ns4800"]
+for k in keys:
+    try:
+        d = json.load(open(os.path.join(workdir, f"done_{k}.json")))
+        if not d.get("complete"):
+            sys.exit(1)
+    except Exception:
+        sys.exit(1)
+out = "benchmarks/r4_results"
+for m in ["straggler", "mixed_precision", "hotpath", "spectral", "stream90"]:
+    if not os.path.exists(os.path.join(out, f"{m}.ok")):
+        sys.exit(1)
+sys.exit(0)
+EOF
+}
+
+# Cold persistent-cache compiles can exceed the default 90 s probe window
+# on this 1-vCPU host; a healthy worker must not look sick for that.
+export BENCH_PROBE_TIMEOUT=${BENCH_PROBE_TIMEOUT:-240}
+
+pass=0
+while true; do
+  if all_done; then slog "ALL STAGES DONE"; exit 0; fi
+  now=$(date +%s)
+  if [ $((now - START)) -ge "$BUDGET_S" ]; then
+    slog "budget exhausted after $pass passes"; exit 1
+  fi
+  pass=$((pass + 1))
+  slog "campaign pass $pass"
+  bash benchmarks/run_r4_campaign.sh >> "$OUT/campaign_outer.log" 2>&1
+  slog "campaign pass $pass ended (rc=$?); breather 120s"
+  sleep 120
+done
