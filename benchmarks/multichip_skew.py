@@ -15,10 +15,23 @@ is deterministic; CPU vs TPU differ at codegen-ULP level which does not
 move counts at this aggregation), so CPU trips are a faithful stand-in
 for chip-time shares.
 
+Two work metrics per shard per chunk:
+
+  trips     device-loop iterations of the shard's while_loop (what the
+            implemented runner pays; with SKEW_BUCKETS > 1 this is the sum
+            over the shard's sequential difficulty buckets -- the
+            production multi-chip scheduling, tracer k_buckets);
+  attempts  per-lane solver step attempts summed over the shard's lanes
+            (scheduler-independent work content; the lower bound any
+            shard-local scheduler can approach).
+
 Usage: python benchmarks/multichip_skew.py   (forces CPU itself)
   env: SKEW_DAYS (default 10; 30 = full north star, slower),
-       SKEW_NSOURCE (4800), SKEW_SHARDS (8), SKEW_CHUNK (60).
-Writes benchmarks/r4_results/multichip_skew.json.
+       SKEW_NSOURCE (4800), SKEW_SHARDS (8), SKEW_CHUNK (60),
+       SKEW_BUCKETS (default 8 = the bucketed sharded runner; 1 = plain
+       dense full-width loops, much slower on late straggler chunks).
+Writes benchmarks/r4_results/multichip_skew.json incrementally (per chunk),
+with complete=true on the final write.
 """
 
 import json
@@ -90,49 +103,73 @@ def main():
     f0, _ = ray_mod.rhs(bg, y0)
     carry = (y0, jnp.zeros(n_lanes, dtype), h0, f0, y0[0], y0[1])
 
-    per_chunk = []   # (n_chunks, n_shards) trip counts
+    buckets = int(os.environ.get("SKEW_BUCKETS", "8"))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "r4_results", "multichip_skew.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    per_chunk = []      # (n_chunks, n_shards) trip counts
+    att_chunk = []      # (n_chunks, n_shards) lane-attempt sums
     walls = []
+    per_shard = n_lanes // nshards
+    prev_att = None
     step = 1
+
+    def _write(complete):
+        pc = np.asarray(per_chunk, float)
+        ac = np.asarray(att_chunk, float)
+        rec = {
+            "complete": complete,
+            "days": days, "nsource": nsource,
+            "n_device_lanes": int(n_lanes), "n_shards": nshards,
+            "chunk_steps": chunk, "k_buckets": buckets,
+            "steps_measured": step - 1, "steps_total": nt_m1,
+            "per_shard_total_trips": pc.sum(axis=0).tolist(),
+            "per_chunk_trips": pc.tolist(),
+            "per_shard_total_attempts": ac.sum(axis=0).tolist(),
+            "per_chunk_attempts": ac.tolist(),
+            # Chunk-level barrier accounting: the chunked driver syncs
+            # between chunks, so the honest projection uses the PER-CHUNK
+            # max, not the whole-run max (stragglers can sit on different
+            # shards in different chunks).
+            "skew_trips_chunk_barrier": round(float(
+                pc.max(axis=1).sum() / pc.mean(axis=1).sum()), 4),
+            "skew_attempts_chunk_barrier": round(float(
+                ac.max(axis=1).sum() / ac.mean(axis=1).sum()), 4),
+            "projection": ("8-chip wall = single-chip wall * "
+                           "skew_chunk_barrier / n_shards"),
+            "cpu_walls": [round(w, 1) for w in walls],
+        }
+        with open(out, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        return rec
+
     while step <= nt_m1:
         n = min(chunk, nt_m1 - step + 1)
         bounds = jnp.arange(step, step + n, dtype=dtype) * dt
         t0 = time.perf_counter()
-        carry, (_ys, _ugs, _vgs, iters, _nf, _la) = (
+        carry, (_ys, _ugs, _vgs, iters, _nf, la) = (
             tracer._rk45_group_chunk_shardmap(
                 mesh, bg, *carry, bounds, cut_off, rtol, atol, min_step,
-                prev_att=None, dense=True))
+                prev_att=prev_att, dense=True, k_buckets=buckets))
         it = np.asarray(iters)
+        la_h = np.asarray(la)
+        prev_att = la  # difficulty feedback, as the chunked driver chains it
         walls.append(time.perf_counter() - t0)
         per_chunk.append(it.tolist())
-        print(f"# chunk [{step},{step + n}) wall={walls[-1]:.1f}s "
-              f"shard trips={it.tolist()}", flush=True)
+        att_chunk.append(
+            la_h[:per_shard * nshards].reshape(nshards, per_shard)
+            .sum(axis=1).tolist())
         step += n
+        _write(False)
+        print(f"# chunk [{step - n},{step}) wall={walls[-1]:.1f}s "
+              f"shard trips={it.tolist()} "
+              f"shard attempts={att_chunk[-1]}", flush=True)
 
-    per_chunk = np.asarray(per_chunk)
-    tot = per_chunk.sum(axis=0).astype(float)
-    skew = float(tot.max() / tot.mean())
-    rec = {
-        "days": days, "nsource": nsource, "n_device_lanes": int(n_lanes),
-        "n_shards": nshards, "chunk_steps": chunk,
-        "per_shard_total_trips": tot.tolist(),
-        "per_chunk_trips": per_chunk.tolist(),
-        "skew_max_over_mean": round(skew, 4),
-        # Chunk-level barrier accounting: the chunked driver syncs between
-        # chunks, so the honest projection uses the PER-CHUNK max, not the
-        # whole-run max (stragglers can sit on different shards in
-        # different chunks).
-        "skew_chunk_barrier": round(float(
-            per_chunk.max(axis=1).sum() / per_chunk.mean(axis=1).sum()), 4),
-        "projection": "8-chip wall = single-chip wall * skew / n_shards",
-        "cpu_walls": [round(w, 1) for w in walls],
-    }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "r4_results", "multichip_skew.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as fh:
-        json.dump(rec, fh, indent=1)
+    rec = _write(True)
     print(json.dumps({k: v for k, v in rec.items()
-                      if k != "per_chunk_trips"}), flush=True)
+                      if k not in ("per_chunk_trips",
+                                   "per_chunk_attempts")}), flush=True)
 
 
 if __name__ == "__main__":
