@@ -29,7 +29,12 @@ Usage: python benchmarks/multichip_skew.py   (forces CPU itself)
   env: SKEW_DAYS (default 10; 30 = full north star, slower),
        SKEW_NSOURCE (4800), SKEW_SHARDS (8), SKEW_CHUNK (60),
        SKEW_BUCKETS (default 8 = the bucketed sharded runner; 1 = plain
-       dense full-width loops, much slower on late straggler chunks).
+       dense full-width loops, much slower on late straggler chunks),
+       SKEW_PIN_LIMIT / SKEW_PIN_MWN (arm the straggler pin-kill, the
+       production multi-chip recommendation: an unretired grinder made one
+       shard pay ~1M loop trips in the day-10..15 chunk of the unpinned
+       run -- see multichip_skew_unpinned_partial.json),
+       SKEW_OUT (output basename, default multichip_skew).
 Writes benchmarks/r4_results/multichip_skew.json incrementally (per chunk),
 with complete=true on the final write.
 """
@@ -104,8 +109,16 @@ def main():
     carry = (y0, jnp.zeros(n_lanes, dtype), h0, f0, y0[0], y0[1])
 
     buckets = int(os.environ.get("SKEW_BUCKETS", "8"))
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "r4_results", "multichip_skew.json")
+    pin_env = os.environ.get("SKEW_PIN_LIMIT", "")
+    pin_kw = {}
+    if pin_env:
+        pin_kw = dict(
+            pin_limit=jnp.asarray(int(pin_env), jnp.int32),
+            pin_mwn=jnp.asarray(
+                float(os.environ.get("SKEW_PIN_MWN", "50")), dtype))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "r4_results",
+        os.environ.get("SKEW_OUT", "multichip_skew") + ".json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
 
     per_chunk = []      # (n_chunks, n_shards) trip counts
@@ -123,6 +136,14 @@ def main():
             "days": days, "nsource": nsource,
             "n_device_lanes": int(n_lanes), "n_shards": nshards,
             "chunk_steps": chunk, "k_buckets": buckets,
+            "pin": ([int(pin_env),
+                     float(os.environ.get("SKEW_PIN_MWN", "50"))]
+                    if pin_env else None),
+            # The bucketed runner stops a bucket's loop at max_iters=1e6;
+            # a shard at/above it was TRUNCATED (its lanes did not finish
+            # the chunk) -- treat later chunks qualitatively.
+            "max_iters_truncated": bool(
+                (np.asarray(per_chunk) >= 1_000_000).any()),
             "steps_measured": step - 1, "steps_total": nt_m1,
             "per_shard_total_trips": pc.sum(axis=0).tolist(),
             "per_chunk_trips": pc.tolist(),
@@ -151,7 +172,8 @@ def main():
         carry, (_ys, _ugs, _vgs, iters, _nf, la) = (
             tracer._rk45_group_chunk_shardmap(
                 mesh, bg, *carry, bounds, cut_off, rtol, atol, min_step,
-                prev_att=prev_att, dense=True, k_buckets=buckets))
+                prev_att=prev_att, dense=True, k_buckets=buckets,
+                **pin_kw))
         it = np.asarray(iters)
         la_h = np.asarray(la)
         prev_att = la  # difficulty feedback, as the chunked driver chains it
