@@ -74,10 +74,17 @@ run_probe() {
   return 1
 }
 
-# Pin thresholds for the armed A/B row (stage 2); calibrate from the
-# straggler probe before trusting the defaults here.
+# Pin thresholds for the armed A/B row (stage 2). Calibrated from the CPU
+# straggler probe (benchmarks/analyze_straggler.py + the per-lane |l|
+# histories in straggler_probe_cpu.npz): the real grinders blow the
+# attempt budget at |l| ~ 0.4-6.5 — the |l|->infinity critical-layer
+# precursor NEVER fires at mwn=50 on this workload — and every lane that
+# crossed ~300 attempts/chunk died within 1-2 chunks anyway. So the armed
+# row gates on the attempt budget alone (pin_mwn=1.0 keeps the |l| guard
+# only against pathological near-zero-|l| retirements), at >3x the
+# normal-lane p99.9 (~153).
 PIN_LIMIT=${PIN_LIMIT:-500}
-PIN_MWN=${PIN_MWN:-50}
+PIN_MWN=${PIN_MWN:-1}
 
 log "=== campaign start ==="
 # Records first -- they are what the driver's end-of-round bench re-merges;
