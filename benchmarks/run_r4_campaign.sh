@@ -80,11 +80,11 @@ run_probe() {
 # attempt budget at |l| ~ 0.4-6.5 — the |l|->infinity critical-layer
 # precursor NEVER fires at mwn=50 on this workload — and every lane that
 # crossed ~300 attempts/chunk died within 1-2 chunks anyway. So the armed
-# row gates on the attempt budget alone (pin_mwn=0.001 keeps the |l| guard
+# row gates on the attempt budget alone (pin_mwn=0 drops the |l| guard entirely: probe runs proved grinders at |l|<1 and even |l|<0.001
 # only against exactly-zero-|l| (turning-root) lanes; the m=1.0 probe run proved the grinder holds |l|<1 throughout its 1M-attempt grind), at >3x the
 # normal-lane p99.9 (~153).
 PIN_LIMIT=${PIN_LIMIT:-500}
-PIN_MWN=${PIN_MWN:-0.001}
+PIN_MWN=${PIN_MWN:-0}
 
 log "=== campaign start ==="
 # Records first -- they are what the driver's end-of-round bench re-merges;

@@ -24,7 +24,7 @@ all_done() {
   python3 - <<'EOF'
 import json, os, sys
 workdir = os.environ.get("BENCH_WORKDIR", ".bench_workdir")
-pin = f"pin{int(os.environ.get('PIN_LIMIT', '500'))}m{float(os.environ.get('PIN_MWN', '0.001')):g}"
+pin = f"pin{int(os.environ.get('PIN_LIMIT', '500'))}m{float(os.environ.get('PIN_MWN', '0')):g}"
 keys = ["d30_ns4800_dense", f"d30_ns4800_dense_{pin}", "d30_ns4800"]
 for k in keys:
     try:
