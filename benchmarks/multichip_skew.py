@@ -123,6 +123,9 @@ def main():
 
     per_chunk = []      # (n_chunks, n_shards) trip counts
     att_chunk = []      # (n_chunks, n_shards) lane-attempt sums
+    trunc_chunk = []    # (n_chunks, n_shards) bool: shard left lanes
+                        # unfinished at the chunk barrier (max_iters cut a
+                        # bucket's loop short)
     walls = []
     per_shard = n_lanes // nshards
     prev_att = None
@@ -139,11 +142,17 @@ def main():
             "pin": ([int(pin_env),
                      float(os.environ.get("SKEW_PIN_MWN", "50"))]
                     if pin_env else None),
-            # The bucketed runner stops a bucket's loop at max_iters=1e6;
-            # a shard at/above it was TRUNCATED (its lanes did not finish
-            # the chunk) -- treat later chunks qualitatively.
-            "max_iters_truncated": bool(
-                (np.asarray(per_chunk) >= 1_000_000).any()),
+            # Exact truncation signal: a lane still short of the chunk's
+            # final bound after the runner returned means max_iters cut its
+            # bucket's while_loop short (dead lanes jump to the final
+            # bound, so they never false-positive). This replaces the
+            # earlier trip-count>=1e6 heuristic, which with SKEW_BUCKETS>1
+            # compared the SUM over a shard's bucket loops against the
+            # PER-BUCKET cap and could flag a complete run -- treat
+            # truncated chunks' later rows qualitatively.
+            "max_iters_truncated": bool(np.asarray(trunc_chunk).any()),
+            "per_chunk_truncated_shards": np.asarray(
+                trunc_chunk, bool).tolist(),
             "steps_measured": step - 1, "steps_total": nt_m1,
             "per_shard_total_trips": pc.sum(axis=0).tolist(),
             "per_chunk_trips": pc.tolist(),
@@ -182,6 +191,10 @@ def main():
         att_chunk.append(
             la_h[:per_shard * nshards].reshape(nshards, per_shard)
             .sum(axis=1).tolist())
+        t_h = np.asarray(carry[1])[:per_shard * nshards]
+        trunc_chunk.append(
+            (t_h.reshape(nshards, per_shard) < float(bounds[-1]))
+            .any(axis=1).tolist())
         step += n
         _write(False)
         print(f"# chunk [{step - n},{step}) wall={walls[-1]:.1f}s "

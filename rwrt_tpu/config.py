@@ -258,8 +258,16 @@ class RunConfig:
                 raise ValueError("pin_limit must be a positive int")
             from rwrt_tpu.constants import mwn_cap
 
-            if not (0 < float(self.pin_mwn) <= mwn_cap):
+            # 0 is allowed and is the MEASURED production recommendation
+            # (attempts-only gating): round 4's skew probe showed real
+            # grinders hold |l| ~ 0.001-6.5 through their entire grind --
+            # an |l| threshold >= 1 never fires on them (two chunks ground
+            # 1M+ loop trips bit-identically to unpinned with the gate at
+            # 1.0), so the attempt budget alone is the effective gate
+            # (benchmarks/MEASUREMENTS.md, multichip_skew_* artifacts).
+            if not (0 <= float(self.pin_mwn) <= mwn_cap):
                 raise ValueError(
-                    f"pin_mwn must be in (0, {mwn_cap}] (the reference's "
-                    f"|m| kill cap), got {self.pin_mwn}")
+                    f"pin_mwn must be in [0, {mwn_cap}] (the reference's "
+                    f"|m| kill cap; 0 = attempts-only gating), "
+                    f"got {self.pin_mwn}")
         return self

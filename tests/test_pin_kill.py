@@ -247,5 +247,8 @@ def test_pin_config_validation():
         RunConfig(pin_limit=0, **base).validate()
     with pytest.raises(ValueError, match="pin_mwn"):
         RunConfig(pin_limit=500, pin_mwn=150.0, **base).validate()
+    # 0 is the measured production recommendation (attempts-only gating;
+    # round-4 skew probes: real grinders hold |l| < 1 forever).
+    RunConfig(pin_limit=500, pin_mwn=0.0, **base).validate()
     with pytest.raises(ValueError, match="pin_mwn"):
-        RunConfig(pin_limit=500, pin_mwn=0.0, **base).validate()
+        RunConfig(pin_limit=500, pin_mwn=-1.0, **base).validate()
