@@ -117,7 +117,8 @@ def main():
             pin_mwn=jnp.asarray(
                 float(os.environ.get("SKEW_PIN_MWN", "50")), dtype))
     out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "r4_results",
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("PROBE_RESULTS", "r4_results"),
         os.environ.get("SKEW_OUT", "multichip_skew") + ".json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
 

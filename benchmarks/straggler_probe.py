@@ -122,7 +122,7 @@ def main():
         # measured so far (XLA CPU compiles alone can cost ~1 h here).
         _snap = {k: np.stack(v) for k, v in recs.items()}
         _out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "r4_results",
+                            os.environ.get("PROBE_RESULTS", "r4_results"),
                             "straggler_probe"
                             + ("_cpu" if os.environ.get("PROBE_CPU") == "1"
                                else "") + ".npz")
@@ -133,7 +133,8 @@ def main():
     arrs = {k: np.stack(v) for k, v in recs.items()}
     suffix = "_cpu" if os.environ.get("PROBE_CPU") == "1" else ""
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "r4_results", f"straggler_probe{suffix}.npz")
+                       os.environ.get("PROBE_RESULTS", "r4_results"),
+                       f"straggler_probe{suffix}.npz")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez(out, walls=np.asarray(walls), min_step=float(min_step),
              n_lanes=n_lanes, **arrs)

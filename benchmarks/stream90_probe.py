@@ -57,7 +57,7 @@ def main():
     max_chunks = int(os.environ.get("STREAM90_MAX_CHUNKS", "2"))
     chunk = int(os.environ.get("STREAM90_CHUNK", "30"))
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "r4_results")
+                           os.environ.get("PROBE_RESULTS", "r4_results"))
     os.makedirs(out_dir, exist_ok=True)
     work = os.path.join(out_dir, "stream90_work")
     os.makedirs(work, exist_ok=True)
