@@ -542,11 +542,16 @@ def integrate_group_dense(
     reaches ``pin_limit`` while |y[pin_row]| >= ``pin_mwn`` is NaN-retired
     through the ordinary kill path -- the same death the |m| cap would
     impose, detected from its precursor (cost explosion + runaway
-    wavenumber) instead of the cap crossing. Bounds crossed by
-    already-accepted steps keep their emitted samples; later bounds stay
-    NaN exactly like a natural mid-chunk death. Disabled (both None, the
-    default) the check rides a never-firing sentinel and results are
-    bitwise-identical to the pre-knob code.
+    wavenumber) instead of the cap crossing. Retirement fires on accepted
+    steps and (round 5) on rejected attempts at/below the step floor, so
+    a perpetual-rejection grinder -- a lane whose trial error never drops
+    below 1 as h collapses, which never produces an accepted step at all
+    (measured: benchmarks/r4_results/multichip_skew_pin500m0.json) --
+    cannot evade the budget. Bounds crossed by already-accepted steps
+    keep their emitted samples; later bounds stay NaN exactly like a
+    natural mid-chunk death. Disabled (both None, the default) the check
+    rides a never-firing sentinel and results are bitwise-identical to
+    the pre-knob code.
     """
     g = bounds.shape[0]
     r = t.shape[0]
@@ -648,12 +653,26 @@ def integrate_group_dense(
 
         # Straggler pin-kill (see docstring): per-chunk attempt count
         # (lane_att, the schedulers' existing cost signal) past pin_limit
-        # while the wavenumber is past pin_mwn. Checked on ACCEPTED steps
-        # only so the emitted samples of the retiring step stay intact;
-        # NaN-ing BEFORE the dead-lane sweep below routes it through the
-        # ordinary kill path (t -> t_end, un-emitted bounds stay NaN).
+        # while the wavenumber is past pin_mwn. Fires on ACCEPTED steps
+        # (so the emitted samples of the retiring step stay intact) AND --
+        # round 5 -- on REJECTED attempts at/below the step floor: a
+        # PERPETUAL-REJECTION grinder (trial error never < 1 as h
+        # collapses; measured round 4 at north-star scale, one 8-shard
+        # chunk = 1,001,209 loop trips / 2.14 M attempts on one shard,
+        # benchmarks/r4_results/multichip_skew_pin500m0.json) never
+        # completes an accepted step, so an accept-only gate cannot retire
+        # it and the whole mesh pays its grind to the max_iters backstop.
+        # `hstep <= min_step` is the grinder signature: persistent
+        # rejection decays h below the floor within ~a dozen trips (heff
+        # only re-floors on new_step), while a healthy rejecting lane's h
+        # sits far above it -- so the arm cannot fire on ordinary
+        # rejections. NaN-ing BEFORE the dead-lane sweep below routes
+        # retirement through the ordinary kill path (t -> t_end,
+        # un-emitted bounds stay NaN). OFF (sentinel thresholds) remains
+        # bitwise-identical: both arms are gated on lane_att >= 2**30.
         lane_att_out = c.lane_att + act.astype(jnp.int32)
-        retire = (upd & (lane_att_out >= pin_limit)
+        floor_rej = act & ~accept & (hstep <= min_step * (1 + 1e-6))
+        retire = ((upd | floor_rej) & (lane_att_out >= pin_limit)
                   & (jnp.abs(y_out[pin_row]) >= pin_mwn))
         y_out = jnp.where(retire[None, :], jnp.nan, y_out)
 

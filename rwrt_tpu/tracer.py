@@ -824,32 +824,45 @@ def _run_rk4(bg, y0, ug0, vg0, dt, nt, cut_off):
 @functools.partial(jax.jit, static_argnames=("nt", "max_iters"))
 def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
               max_iters=100_000):
-    """Full adaptive run (reference wr.py:767-887) as one fused program."""
+    """Full adaptive run (reference wr.py:767-887) as one fused program.
+
+    The trailing ``trunc`` return is the number of lanes the max_iters
+    backstop cut off short of the final bound (dead lanes jump their t to
+    the bound, so they never count): nonzero means the emitted history is
+    silently frozen mid-interval for those lanes, and callers
+    (trace_rays) must surface it rather than return it quietly
+    (VERDICT r4 weak #4).
+    """
     h0 = initial_step_sizes(bg, y0, rtol, atol)
     # zeros_like (not a fresh constant) so t inherits the lane sharding /
     # varying-axis type under shard_map.
     t0 = jnp.zeros_like(y0[0])
     t_bounds = (jnp.arange(1, nt, dtype=y0.dtype)) * dt
 
-    _, (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
+    (_, t_f, _), (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
         bg, y0, t0, h0, t_bounds, cut_off, rtol, atol, min_step, max_iters
     )
+    trunc = jnp.sum((t_f < t_bounds[-1]).astype(jnp.int32))
     ys = jnp.concatenate([y0[None], ys], axis=0)
     ugs = jnp.concatenate([ug0[None], ugs], axis=0)
     vgs = jnp.concatenate([vg0[None], vgs], axis=0)
-    return ys, ugs, vgs, iters, nfev
+    return ys, ugs, vgs, iters, nfev, trunc
 
 
-@functools.partial(jax.jit, static_argnames=("nt", "group", "dense"))
+@functools.partial(jax.jit,
+                   static_argnames=("nt", "group", "dense", "max_iters"))
 def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                       min_step, group: int = 8, dense: bool = False,
-                      pin_limit=None, pin_mwn=None):
+                      pin_limit=None, pin_mwn=None,
+                      max_iters: int = 1_000_000):
     """Adaptive run via group-asynchronous intervals (bit-identical to
     _run_rk45, ~2x fewer device-loop iterations; see integrate_group).
     dense=True switches each group to free-stepping dense output
     (_rk45_group_chunk_dense semantics; NOT bit-identical, see bound_mode).
     pin_limit/pin_mwn: dense-mode straggler pin-kill thresholds
-    (solvers/rk45.py integrate_group_dense)."""
+    (solvers/rk45.py integrate_group_dense). Trailing ``trunc`` return:
+    count of lanes cut off short of the final bound by the max_iters
+    backstop (see _run_rk45)."""
 
     def rhs_fn(yy, tt=0.0):
         dy, _ = ray_mod.rhs(bg, yy, tt)
@@ -876,27 +889,59 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
             hist, y2, t2, h2, f2, iters, nfev, la, _, _ = (
                 rk45_mod.integrate_group_dense(
                     rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
+                    max_iters=max_iters,
                     pin_limit=pin_limit, pin_mwn=pin_mwn))
             carry, (hist, ugs, vgs, iters, nfev, _) = _dense_postpass(
                 bg, hist, y2, t2, h2, f2, pl, pa, bounds, cut_off, nan0,
                 iters, nfev, la)
-            return carry, (hist, ugs, vgs, iters, nfev)
-        carry, (hist, ugs, vgs, iters, nfev, _) = _rk45_group_chunk(
-            bg, *carry, bounds, cut_off, rtol, atol, min_step
-        )
-        return carry, (hist, ugs, vgs, iters, nfev)
+        else:
+            carry, (hist, ugs, vgs, iters, nfev, _) = _rk45_group_chunk(
+                bg, *carry, bounds, cut_off, rtol, atol, min_step,
+                max_iters=max_iters,
+            )
+        # Per-group truncation count: lanes the max_iters backstop left
+        # short of this group's final bound (dead lanes jump to it, so
+        # they never count). Summed over groups by the scan stack.
+        tr = jnp.sum((carry[1] < bounds[-1]).astype(jnp.int32))
+        return carry, (hist, ugs, vgs, iters, nfev, tr)
 
     carry = (y0, t0, h0, f0, y0[S_LON], y0[S_LAT])
-    _, (hists, ugss, vgss, iters, nfev) = jax.lax.scan(
+    _, (hists, ugss, vgss, iters, nfev, truncs) = jax.lax.scan(
         one_group, carry, bounds_g
     )
+    trunc = jnp.sum(truncs)
     ys = hists.reshape(padded, *y0.shape)[:n_bounds]
     ugs = ugss.reshape(padded, -1)[:n_bounds]
     vgs = vgss.reshape(padded, -1)[:n_bounds]
     ys = jnp.concatenate([y0[None], ys], axis=0)
     ugs = jnp.concatenate([ug0[None], ugs], axis=0)
     vgs = jnp.concatenate([vg0[None], vgs], axis=0)
-    return ys, ugs, vgs, iters, nfev
+    return ys, ugs, vgs, iters, nfev, trunc
+
+
+class MaxItersTruncation(RuntimeError):
+    """The adaptive while_loop's max_iters backstop cut lanes off short of
+    their output bounds: the emitted history would be silently frozen
+    mid-interval for those lanes (finite rows that stop evolving), which
+    is indistinguishable from valid data downstream. The fused runners
+    therefore refuse to return it (VERDICT r4 weak #4). The backstop is a
+    runaway guard ~4 orders of magnitude above any healthy chunk's trip
+    count; hitting it means a grinder lane is loose -- arm the straggler
+    pin-kill (RunConfig.pin_limit, pin_mwn=0) or route through the chunked
+    driver, which reports truncation per chunk instead of raising."""
+
+
+def _check_truncation(trunc):
+    """Host-side gate on the fused runners' truncation counters (one tiny
+    fetch per run, outside jit)."""
+    n = int(np.asarray(trunc).sum())
+    if n:
+        raise MaxItersTruncation(
+            f"adaptive integration hit the max_iters backstop with {n} "
+            "unfinished lane-group(s); history would be silently frozen "
+            "mid-interval. Arm the straggler pin-kill (pin_limit, "
+            "pin_mwn=0) or use the chunked driver."
+        )
 
 
 def compact_lane_indices(born: np.ndarray):
@@ -978,23 +1023,25 @@ def _make_rk45_sharded_fn(mesh, nt: int, group: int,
     def local(bg, y0, ug0, vg0, dt, cut_off, rtol, atol, min_step,
               pin_limit, pin_mwn):
         if group > 1 and nt > 2:
-            ys, ugs, vgs, iters, nfev = _run_rk45_grouped(
+            ys, ugs, vgs, iters, nfev, trunc = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=group, dense=dense,
                 pin_limit=pin_limit, pin_mwn=pin_mwn,
             )
         else:
-            ys, ugs, vgs, iters, nfev = _run_rk45(
+            ys, ugs, vgs, iters, nfev, trunc = _run_rk45(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step
             )
-        return ys, ugs, vgs, iters.reshape(1, -1), nfev.reshape(1, -1)
+        return (ys, ugs, vgs, iters.reshape(1, -1), nfev.reshape(1, -1),
+                trunc.reshape(1))
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(_bg_spec(sp, member_sharded), sp["l2"], sp["lane"],
                   sp["lane"], sp["rep"], sp["rep"], sp["rep"], sp["rep"],
                   sp["rep"], sp["rep"], sp["rep"]),
-        out_specs=(sp["l3"], sp["l2"], sp["l2"], sp["shard"], sp["shard"]),
+        out_specs=(sp["l3"], sp["l2"], sp["l2"], sp["shard"], sp["shard"],
+                   sp["lane"]),
     ))
 
 
@@ -1013,9 +1060,10 @@ def _run_rk45_sharded(mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                       pin_limit=None, pin_mwn=None):
     """Multi-chip adaptive run via shard_map (see _make_rk45_sharded_fn).
 
-    Returns (ys, ugs, vgs, iters, nfev) with iters/nfev shaped
+    Returns (ys, ugs, vgs, iters, nfev, trunc) with iters/nfev shaped
     (n_shards, n_chunks) -- per-shard device-loop counts (they differ; that
-    is the point).
+    is the point) -- and trunc (n_shards,) per-shard counts of
+    max_iters-truncated lane-groups (see _run_rk45).
     """
     fn = _make_rk45_sharded_fn(mesh, nt, group,
                                member_sharded=bg.member_ids is not None,
@@ -1236,23 +1284,24 @@ def trace_rays(
         if mesh is not None:
             # shard_map: per-shard while_loops, no collectives in the hot
             # loop (see _run_rk45_sharded).
-            ys, ugs, vgs, _, _ = _run_rk45_sharded(
+            ys, ugs, vgs, _, _, trunc = _run_rk45_sharded(
                 mesh, bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                 min_step, group=min(config.interval_batch, nt - 1),
                 dense=(config.bound_mode == "dense"),
                 pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
             )
         elif config.interval_batch > 1 and nt > 2:
-            ys, ugs, vgs, _, _ = _run_rk45_grouped(
+            ys, ugs, vgs, _, _, trunc = _run_rk45_grouped(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
                 group=min(config.interval_batch, nt - 1),
                 dense=(config.bound_mode == "dense"),
                 pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
             )
         else:
-            ys, ugs, vgs, _, _ = _run_rk45(
+            ys, ugs, vgs, _, _, trunc = _run_rk45(
                 bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
             )
+        _check_truncation(trunc)
 
     if take is not None:
         # Expand the compacted lanes back into the full layout. Rootless
@@ -1409,23 +1458,24 @@ def trace_rays_ensemble(bs_members, config: RunConfig,
                 ens_bg.member_ids,
                 jnp.zeros(pad, ens_bg.member_ids.dtype),
             ]))
-        ys, ugs, vgs, _, _ = _run_rk45_sharded(
+        ys, ugs, vgs, _, _, trunc = _run_rk45_sharded(
             mesh, ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
             min_step, group=min(config.interval_batch, nt - 1),
             dense=(config.bound_mode == "dense"),
             pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
         )
     elif config.interval_batch > 1 and nt > 2:
-        ys, ugs, vgs, _, _ = _run_rk45_grouped(
+        ys, ugs, vgs, _, _, trunc = _run_rk45_grouped(
             ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
             group=min(config.interval_batch, nt - 1),
             dense=(config.bound_mode == "dense"),
             pin_limit=config.pin_limit, pin_mwn=config.pin_mwn,
         )
     else:
-        ys, ugs, vgs, _, _ = _run_rk45(
+        ys, ugs, vgs, _, _, trunc = _run_rk45(
             ens_bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
         )
+    _check_truncation(trunc)
     out = []
     for i in range(n_members):
         sl = slice(i * r_single, (i + 1) * r_single)

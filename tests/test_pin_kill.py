@@ -138,6 +138,67 @@ def test_pin_retires_only_grinding_large_l_lanes():
     assert la[0] < 200 and la[7] < 200, la
 
 
+def test_pin_kills_perpetual_rejection_grinder():
+    """Round-5 predicate extension (VERDICT r4 item 2): a lane whose every
+    trial is REJECTED (error >= 1 as h collapses) never produces an
+    accepted step, so the round-4 accept-only gate could not retire it --
+    measured at scale: one 8-shard chunk ground 1,001,209 loop trips /
+    2.14 M attempts on one shard with pin500/m0 armed
+    (benchmarks/r4_results/multichip_skew_pin500m0.json). The extended
+    predicate fires on rejected attempts at/below the step floor too.
+
+    Grinder construction: a forcing term BIG*sin(W*t) with W=1e24 is
+    noise at every step size the controller can reach before f64
+    exhaustion, so the embedded error estimate stays >> 1 while h decays
+    0.2x per rejection -- a deterministic perpetual-rejection lane (the
+    unpinned control below measures it: ~zero progress at a 2000-trip
+    cap)."""
+    W, BIG = 1e24, 1e10
+    hard = jnp.asarray([0., 0., 1., 0.])  # lane 2 grinds
+
+    def rhs(y, t=0.0):
+        one = jnp.ones_like(y[0])
+        noise = BIG * jnp.sin(W * t) * one
+        return jnp.stack([one, hard * noise + (1.0 - hard), one,
+                          jnp.zeros_like(one), one])
+
+    y0 = jnp.zeros((5, 4), jnp.float64)
+    bounds = jnp.asarray([0.01, 0.02, 0.03], jnp.float64)
+    t0 = jnp.zeros(4, jnp.float64)
+    h0 = jnp.full(4, 1e-2, jnp.float64)
+    f0 = rhs(y0, t0)
+    args = (rhs, y0, t0, h0, f0, bounds, jnp.asarray(1e-6),
+            jnp.asarray(1e-8), jnp.asarray(1e-3))
+
+    # Unpinned control: the grinder is real -- it eats the whole 2000-trip
+    # budget having advanced ~nothing (perpetual rejection, no accepts:
+    # la == trips), and the batch never finishes.
+    off = rk45_mod.integrate_group_dense(*args, max_iters=2000)
+    assert int(off[5]) == 2000
+    assert float(off[2][2]) < 1e-10  # t: no progress
+    assert int(off[7][2]) == 2000   # every trip was this lane's attempt
+
+    # Armed attempts-only (the production gate, pin_mwn=0): retired at
+    # EXACTLY lane_att == pin_limit. Since the lane never accepted a step,
+    # the retirement necessarily fired on a REJECTED attempt -- the
+    # round-4 predicate (upd & ...) could not have fired here at all.
+    pin = rk45_mod.integrate_group_dense(
+        *args, max_iters=2000,
+        pin_limit=jnp.asarray(15, jnp.int32),
+        pin_mwn=jnp.asarray(0.0, jnp.float64))
+    assert int(pin[7][2]) == 15, np.asarray(pin[7])
+    assert int(pin[5]) <= 30  # whole-batch loop ends promptly
+    # Retired through the ordinary kill path: every bound NaN (it never
+    # reached any), t jumped to the final bound.
+    assert np.isnan(np.asarray(pin[0][:, 0, 2])).all()
+    assert float(pin[2][2]) == float(bounds[-1])
+    # Healthy lanes bitwise-identical to the unpinned run.
+    for lane in (0, 1, 3):
+        np.testing.assert_array_equal(
+            np.asarray(off[0][..., lane]), np.asarray(pin[0][..., lane]),
+            err_msg=f"lane {lane}")
+
+
 def test_pin_unreachable_thresholds_bitwise_noop():
     """pin enabled but unreachable == pin disabled, bitwise (the sentinel
     path and the armed path share one program shape)."""

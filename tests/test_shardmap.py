@@ -116,7 +116,7 @@ def test_per_shard_iteration_counts_differ(bs):
     args = _sharded_args(bs, cfg, mesh)
     fn = tracer._make_rk45_sharded_fn(mesh, cfg.nt,
                                       min(cfg.interval_batch, cfg.nt - 1))
-    _, _, _, iters, _ = fn(*args)
+    _, _, _, iters, _, _ = fn(*args)
     totals = np.asarray(iters).sum(axis=1)
     assert totals.shape == (8,)
     assert len(set(totals.tolist())) > 1, totals
