@@ -91,13 +91,13 @@ for rel in ["tracer.py", "constants.py", "ops/interp.py", "ops/cubic.py",
 print(hsh.hexdigest()[:16])
 EOF
 )) ==="
+# Priority order (VERDICT r4): records 1-2 first, then the item-4/6/8
+# probes, the exact A/B and spectral probe last (item 9, droppable).
 run_bench_until_done d30_ns4800_dense 10
 BENCH_PIN_LIMIT=$PIN_LIMIT BENCH_PIN_MWN=$PIN_MWN \
   run_bench_until_done "d30_ns4800_dense_pin${PIN_LIMIT}m${PIN_MWN}" 8
-BENCH_DENSE=0 run_bench_until_done d30_ns4800 6
 JAX_ENABLE_X64=1 run_probe mixed_precision python3 benchmarks/mixed_precision_probe.py
 run_probe hotpath python3 benchmarks/hotpath_profile.py
-run_probe spectral python3 benchmarks/spectral_probe.py
 # stream90 exits 3 after each cooperative chunk budget (progress, not
 # failure): loop it with a short breather; real failures get the long
 # cooldown.
@@ -115,4 +115,6 @@ stream90() {
   return 1
 }
 stream90
+BENCH_DENSE=0 run_bench_until_done d30_ns4800 6
+run_probe spectral python3 benchmarks/spectral_probe.py
 log "=== r5 campaign end ==="
