@@ -45,8 +45,7 @@ def test_nan_hole_background_matches_reference(jet_field):
     assert ours_n[-1].sum() > ours_n[0].sum()
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_backgrounds_nan_discipline(seed):
+def _rough_background(seed):
     rng = np.random.default_rng(seed)
     nlon, nlat = 48, 25
     lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
@@ -56,13 +55,39 @@ def test_random_backgrounds_nan_discipline(seed):
     u = (rng.normal(0, 15, (nlon, nlat))
          + 40.0 * np.cos(lat)[None, :] * rng.uniform(-0.5, 1.5))
     v = rng.normal(0, 8, (nlon, nlat))
-    bs = rt.prepare(u, v, lat, lon, cal_dtype="float64")
+    return rt.prepare(u, v, lat, lon, cal_dtype="float64")
 
-    cfg = RunConfig(
-        zwn=(1.0, 4.0, 7.0), sw_lon=0.0, sw_lat=-40.0, dlon=60.0, dlat=20.0,
-        nnx=4, nny=5, tstep=2 * HOUR, ttotal=3 * DAY,
-        integrator="rk45", cal_dtype="float64",
-    )
+
+_ROUGH_CFG = dict(
+    zwn=(1.0, 4.0, 7.0), sw_lon=0.0, sw_lat=-40.0, dlon=60.0, dlat=20.0,
+    nnx=4, nny=5, tstep=2 * HOUR, ttotal=3 * DAY,
+    integrator="rk45", cal_dtype="float64",
+)
+
+
+def test_unretired_grinders_raise_not_freeze():
+    """Rough backgrounds breed perpetual-rejection grinders (seed 1: 21
+    lanes spin one group's while_loop to the 1e6-trip backstop). Through
+    round 4 such a run RETURNED, with the cut lanes' histories silently
+    frozen mid-interval; the contract now is to raise (VERDICT r4 item 7)
+    and the remedy is the production pin-kill (the armed run below)."""
+    from rwrt_tpu.tracer import MaxItersTruncation
+
+    bs = _rough_background(1)
+    with pytest.raises(MaxItersTruncation, match="pin"):
+        rt.trace_rays(bs, RunConfig(**_ROUGH_CFG))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_backgrounds_nan_discipline(seed):
+    bs = _rough_background(seed)
+    # Production configuration (dense + straggler retirement at
+    # pin_limit=500, attempts-only): on these pathological backgrounds
+    # grinder lanes would otherwise spin a group's while_loop to the
+    # max_iters backstop, which now raises
+    # (test_unretired_grinders_raise_not_freeze) instead of freezing.
+    cfg = RunConfig(bound_mode="dense", pin_limit=500, pin_mwn=0.0,
+                    **_ROUGH_CFG)
     traj = rt.trace_rays(bs, cfg)
 
     amp = np.asarray(traj.amp)
