@@ -839,10 +839,13 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
     t0 = jnp.zeros_like(y0[0])
     t_bounds = (jnp.arange(1, nt, dtype=y0.dtype)) * dt
 
-    (_, t_f, _), (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
+    (y_f, t_f, _), (ys, ugs, vgs, iters, nfev) = _rk45_chunk(
         bg, y0, t0, h0, t_bounds, cut_off, rtol, atol, min_step, max_iters
     )
-    trunc = jnp.sum((t_f < t_bounds[-1]).astype(jnp.int32))
+    # Dead lanes never count (their t jumps to the bound, and a lane cut
+    # short but dead emits NaN anyway) -- see _run_rk45_grouped.
+    trunc = jnp.sum(((t_f < t_bounds[-1])
+                     & ~jnp.isnan(y_f[0])).astype(jnp.int32))
     ys = jnp.concatenate([y0[None], ys], axis=0)
     ugs = jnp.concatenate([ug0[None], ugs], axis=0)
     vgs = jnp.concatenate([vg0[None], vgs], axis=0)
@@ -901,8 +904,14 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
             )
         # Per-group truncation count: lanes the max_iters backstop left
         # short of this group's final bound (dead lanes jump to it, so
-        # they never count). Summed over groups by the scan stack.
-        tr = jnp.sum((carry[1] < bounds[-1]).astype(jnp.int32))
+        # they never count). A lane cut short but DEAD by group end (the
+        # dense kill cascade can kill mid-grind) doesn't count either:
+        # its history past the kill is NaN regardless, so nothing frozen
+        # leaks; only a cut-short lane still ALIVE would return finite
+        # rows that silently stopped evolving. Summed over groups by the
+        # scan stack.
+        tr = jnp.sum(((carry[1] < bounds[-1])
+                      & ~jnp.isnan(carry[0][0])).astype(jnp.int32))
         return carry, (hist, ugs, vgs, iters, nfev, tr)
 
     carry = (y0, t0, h0, f0, y0[S_LON], y0[S_LAT])
