@@ -886,6 +886,16 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
     bounds_g = bounds_all.reshape(n_groups, group)
 
     def one_group(carry, bounds):
+        # Per-group truncation count (tr): lanes the max_iters backstop
+        # left short of this group's final bound while still ALIVE -- only
+        # those can return finite rows that silently stopped evolving.
+        # Lanes that DIE never count: natural deaths jump t to the final
+        # bound inside the integrators, and kill-masked lanes carry NaN
+        # state (the aliveness test excludes their stale t). For dense the
+        # signal is taken at INTEGRATION end, before the kill cascade: the
+        # cascade reads a truncated lane's unreached (NaN-prefilled)
+        # bounds as death and would otherwise hide the truncation as a
+        # spurious kill. Summed over groups by the scan stack.
         if dense:
             y, t, h, f, pl, pa = carry
             nan0 = jnp.isnan(jnp.mean(y, axis=0))
@@ -894,6 +904,8 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                     rhs_fn, y, t, h, f, bounds, rtol, atol, min_step,
                     max_iters=max_iters,
                     pin_limit=pin_limit, pin_mwn=pin_mwn))
+            tr = jnp.sum(((t2 < bounds[-1])
+                          & ~jnp.isnan(y2[0])).astype(jnp.int32))
             carry, (hist, ugs, vgs, iters, nfev, _) = _dense_postpass(
                 bg, hist, y2, t2, h2, f2, pl, pa, bounds, cut_off, nan0,
                 iters, nfev, la)
@@ -902,16 +914,8 @@ def _run_rk45_grouped(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol,
                 bg, *carry, bounds, cut_off, rtol, atol, min_step,
                 max_iters=max_iters,
             )
-        # Per-group truncation count: lanes the max_iters backstop left
-        # short of this group's final bound (dead lanes jump to it, so
-        # they never count). A lane cut short but DEAD by group end (the
-        # dense kill cascade can kill mid-grind) doesn't count either:
-        # its history past the kill is NaN regardless, so nothing frozen
-        # leaks; only a cut-short lane still ALIVE would return finite
-        # rows that silently stopped evolving. Summed over groups by the
-        # scan stack.
-        tr = jnp.sum(((carry[1] < bounds[-1])
-                      & ~jnp.isnan(carry[0][0])).astype(jnp.int32))
+            tr = jnp.sum(((carry[1] < bounds[-1])
+                          & ~jnp.isnan(carry[0][0])).astype(jnp.int32))
         return carry, (hist, ugs, vgs, iters, nfev, tr)
 
     carry = (y0, t0, h0, f0, y0[S_LON], y0[S_LAT])

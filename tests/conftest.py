@@ -102,8 +102,10 @@ SLOW_TESTS = {
     "test_review_r2.py::test_load_basic_state_time_varying_roundtrip",
     "test_review_r2.py::test_streamed_history_survives_rejected_resume",
     "test_robustness.py::test_nan_hole_background_matches_reference",
-    "test_robustness.py::test_random_backgrounds_nan_discipline[0]",
-    "test_robustness.py::test_random_backgrounds_nan_discipline[2]",
+    "test_robustness.py::test_random_backgrounds_nan_discipline[0-exact]",
+    "test_robustness.py::test_random_backgrounds_nan_discipline[2-exact]",
+    "test_robustness.py::test_random_backgrounds_nan_discipline[0-pinned]",
+    "test_robustness.py::test_random_backgrounds_nan_discipline[2-pinned]",
     "test_round2_fixes.py::test_all_dead_early_stop",
     "test_round2_fixes.py::test_checkpoint_resume_time_varying",
     "test_round2_fixes.py::test_rootless_compaction_invariance[rk45]",
