@@ -843,9 +843,13 @@ def _run_rk45(bg, y0, ug0, vg0, dt, nt, cut_off, rtol, atol, min_step,
         bg, y0, t0, h0, t_bounds, cut_off, rtol, atol, min_step, max_iters
     )
     # Dead lanes never count (their t jumps to the bound, and a lane cut
-    # short but dead emits NaN anyway) -- see _run_rk45_grouped.
-    trunc = jnp.sum(((t_f < t_bounds[-1])
-                     & ~jnp.isnan(y_f[0])).astype(jnp.int32))
+    # short but dead emits NaN anyway) -- see _run_rk45_grouped. nt == 1
+    # (a zero-interval run; t_bounds is empty) trivially has none.
+    if nt > 1:
+        trunc = jnp.sum(((t_f < t_bounds[-1])
+                         & ~jnp.isnan(y_f[0])).astype(jnp.int32))
+    else:
+        trunc = jnp.zeros((), jnp.int32)
     ys = jnp.concatenate([y0[None], ys], axis=0)
     ugs = jnp.concatenate([ug0[None], ugs], axis=0)
     vgs = jnp.concatenate([vg0[None], vgs], axis=0)
