@@ -91,11 +91,13 @@ for rel in ["tracer.py", "constants.py", "ops/interp.py", "ops/cubic.py",
 print(hsh.hexdigest()[:16])
 EOF
 )) ==="
-# Priority order (VERDICT r4): records 1-2 first, then the item-4/6/8
+# Priority order (VERDICT r4): the PINNED record first -- it is the bench
+# default since round 5 (the unpinned run cannot cross the day-21.9
+# perpetual-rejection grinder on this worker; bench.py _pin_env_resolved)
+# -- then the unpinned A/B (expected deep-partial), then the item-4/6/8
 # probes, the exact A/B and spectral probe last (item 9, droppable).
-run_bench_until_done d30_ns4800_dense 10
-BENCH_PIN_LIMIT=$PIN_LIMIT BENCH_PIN_MWN=$PIN_MWN \
-  run_bench_until_done "d30_ns4800_dense_pin${PIN_LIMIT}m${PIN_MWN}" 8
+run_bench_until_done "d30_ns4800_dense_pin${PIN_LIMIT}m${PIN_MWN}" 10
+BENCH_PIN_LIMIT= run_bench_until_done d30_ns4800_dense 4
 JAX_ENABLE_X64=1 run_probe mixed_precision python3 benchmarks/mixed_precision_probe.py
 run_probe hotpath python3 benchmarks/hotpath_profile.py
 # stream90 exits 3 after each cooperative chunk budget (progress, not
