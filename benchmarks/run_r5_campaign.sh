@@ -97,7 +97,6 @@ EOF
 # -- then the unpinned A/B (expected deep-partial), then the item-4/6/8
 # probes, the exact A/B and spectral probe last (item 9, droppable).
 run_bench_until_done "d30_ns4800_dense_pin${PIN_LIMIT}m${PIN_MWN}" 10
-BENCH_PIN_LIMIT= run_bench_until_done d30_ns4800_dense 4
 JAX_ENABLE_X64=1 run_probe mixed_precision python3 benchmarks/mixed_precision_probe.py
 run_probe hotpath python3 benchmarks/hotpath_profile.py
 # stream90 exits 3 after each cooperative chunk budget (progress, not
@@ -117,6 +116,12 @@ stream90() {
   return 1
 }
 stream90
-BENCH_DENSE=0 run_bench_until_done d30_ns4800 6
+# A/B rows last: both are expected DEEP PARTIALS -- the day-21.9
+# perpetual-rejection grinder hangs the worker in any unpinned mode
+# (MEASUREMENTS.md round-5 headline); their value is the covered-span
+# rate comparison, already banked at steps 1-262 (unpinned dense) --
+# so give them the leftover windows only.
+BENCH_PIN_LIMIT= run_bench_until_done d30_ns4800_dense 2
+BENCH_DENSE=0 run_bench_until_done d30_ns4800 2
 run_probe spectral python3 benchmarks/spectral_probe.py
 log "=== r5 campaign end ==="
