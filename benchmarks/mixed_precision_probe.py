@@ -149,6 +149,27 @@ def main():
         print("# oracle written", flush=True)
         return
 
+    # Incremental progress record: the campaign's 1800 s window is shorter
+    # than a cold full run (observed: attempt 1 timed out mid-accuracy-leg),
+    # so each measured leg persists immediately and later attempts skip it.
+    import json
+
+    ck_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          os.environ.get("PROBE_RESULTS", "r5_results"))
+    os.makedirs(ck_dir, exist_ok=True)
+    ck_path = os.path.join(ck_dir, "mp_progress.json")
+    try:
+        with open(ck_path) as fh:
+            ck = json.load(fh)
+    except (OSError, ValueError):
+        ck = {"rates": {}, "acc": {}}
+
+    def _ck_save():
+        tmp = ck_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ck, fh)
+        os.replace(tmp, ck_path)
+
     # ---- rate leg: full lane count, 5 days, warm second wall ------------
     nt5 = 5 * day_steps + 1
     print("# rate leg: 60k lanes x 5 days, peel scheduling, warm walls")
@@ -158,12 +179,18 @@ def main():
             ("mixed", "float32", "float64", "dense"),
             ("f64", "float64", "compute", "dense"))
     for label, dtype, sdt, bm in legs:
-        args = build(4800, dtype, sdt)
-        run(*args, nt5, bound_mode=bm)  # compile + warm
-        wall, _ = run(*args, nt5, bound_mode=bm)
-        n_lanes = args[1].shape[1]
+        if label in ck["rates"]:
+            wall, n_lanes = ck["rates"][label]
+            rates[label] = wall
+        else:
+            args = build(4800, dtype, sdt)
+            run(*args, nt5, bound_mode=bm)  # compile + warm
+            wall, _ = run(*args, nt5, bound_mode=bm)
+            n_lanes = args[1].shape[1]
+            rates[label] = wall
+            ck["rates"][label] = [wall, n_lanes]
+            _ck_save()
         rate = n_lanes * (nt5 - 1) / wall
-        rates[label] = wall
         print(f"{label:10s} wall={wall:7.3f} s  lane-steps/s={rate:12.0f}  "
               f"x_vs_f32={rates['f32-dense'] / wall:5.2f}", flush=True)
 
@@ -198,15 +225,21 @@ def main():
                                   ("f32-exact", "float32", "compute",
                                    "exact"),
                                   ("mixed", "float32", "float64", "dense")):
+        if label in ck["acc"]:
+            print(ck["acc"][label], flush=True)
+            continue
         lon_o, lat_o = oracle[bm]
         args = build(200, dtype, sdt, seed=7)
         _, ys = run(*args, nt30, keep_history=True, bound_mode=bm)
         lon_d, lat_d = _positions(ys)
         e10 = _errs(lon_d, lat_d, lon_o, lat_o, it10 - 1)
         e30 = _errs(lon_d, lat_d, lon_o, lat_o, nt30 - 2)
-        print(f"{label:10s} day-10 RMSE={np.sqrt(np.mean(e10**2)):.4f} deg  "
-              f"day-30 median drift={np.median(e30):.4f} deg  "
-              f"(p90={np.percentile(e30, 90):.3f})", flush=True)
+        row = (f"{label:10s} day-10 RMSE={np.sqrt(np.mean(e10**2)):.4f} deg  "
+               f"day-30 median drift={np.median(e30):.4f} deg  "
+               f"(p90={np.percentile(e30, 90):.3f})")
+        ck["acc"][label] = row
+        _ck_save()
+        print(row, flush=True)
 
 
 if __name__ == "__main__":
