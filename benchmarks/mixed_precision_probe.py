@@ -220,11 +220,15 @@ def main():
     m10 = _errs(ld, bd, le, be, it10 - 1)
     print(f"# f64 dense-vs-exact mode gap: day-10 RMSE="
           f"{np.sqrt(np.mean(m10**2)):.2e} deg", flush=True)
+    # "mixed" (the VERDICT item-4 row) runs BEFORE "f32-exact": the exact
+    # 30-day leg is unpinned and can grind past the probe window on a
+    # straggler lane (observed: attempt 2 stalled >17 min in f32-exact),
+    # and a missing exact row must not block the mixed one.
     for label, dtype, sdt, bm in (("f32-dense", "float32", "compute",
                                    "dense"),
+                                  ("mixed", "float32", "float64", "dense"),
                                   ("f32-exact", "float32", "compute",
-                                   "exact"),
-                                  ("mixed", "float32", "float64", "dense")):
+                                   "exact")):
         if label in ck["acc"]:
             print(ck["acc"][label], flush=True)
             continue
