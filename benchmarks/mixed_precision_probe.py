@@ -224,6 +224,18 @@ def main():
     # 30-day leg is unpinned and can grind past the probe window on a
     # straggler lane (observed: attempt 2 stalled >17 min in f32-exact),
     # and a missing exact row must not block the mixed one.
+    if "f32-exact" not in ck["acc"]:
+        # The unpinned EXACT 30-day leg grinds past any probe window on
+        # this worker (attempt 2 stalled >22 min inside it with the same
+        # seeding that completes in dense mode) -- the same
+        # perpetual-rejection straggler class the bench's unpinned A/B row
+        # documents (MEASUREMENTS.md round-5 headline). Its accuracy row is
+        # skipped rather than measured-with-pin, because a pinned run would
+        # NaN-retire lanes the f64 oracle keeps, biasing the error stats.
+        ck["acc"]["f32-exact"] = ("f32-exact  SKIPPED: unpinned exact-mode "
+                                  "30-day run grinds past the probe window "
+                                  "(see MEASUREMENTS.md round-5 headline)")
+        _ck_save()
     for label, dtype, sdt, bm in (("f32-dense", "float32", "compute",
                                    "dense"),
                                   ("mixed", "float32", "float64", "dense"),
